@@ -1,0 +1,74 @@
+"""T4/T5 — cell-id assignment: dictionary-encoding of region sets.
+
+The reference PIP-queries each face's centroid, interns the sorted region
+list into a dense cell id, and pins the empty list to cell 0
+(/root/reference/src/OsmTriangulationRegionStore.cpp:946-1086; empty-list=0
+at :990-996).  Grid version: the cell's representative point is its center
+(/root/reference/src/OsmTriangulationRegionStore.cpp:276-278 uses the face
+centroid for the same purpose).
+
+Dictionary order contract (deterministic, engine == oracle == golden):
+cell ids are dense_rank over the **lexicographic order of the comma-joined
+sorted region-id list**, with the empty list forced to 0 and non-empty lists
+starting at 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from libosmtools_spark.geom.columns import cell_center_cols
+from libosmtools_spark.joins.spatial import spatial_join
+
+
+def cell_region_sets(
+    cell_keys: DataFrame, cell_index: DataFrame, rings_bcast, level: int = 6
+) -> DataFrame:
+    """distinct cell_key → (cell_key, region_ids sorted array): PIP of the
+    cell center against the region store (T4's centroid query)."""
+    clat, clon = cell_center_cols(F.col("cell_key"))
+    centers = cell_keys.select("cell_key").distinct().withColumn("lat", clat).withColumn("lon", clon)
+    hits = spatial_join(centers, cell_index, rings_bcast, level=level)
+    sets = hits.groupBy("cell_key").agg(F.array_sort(F.collect_set("region_id")).alias("region_ids"))
+    return (
+        centers.select("cell_key")
+        .join(sets, "cell_key", "left")
+        .withColumn("region_ids", F.coalesce(F.col("region_ids"), F.array().cast("array<int>")))
+    )
+
+
+def intern_cell_ids(cell_sets: DataFrame) -> DataFrame:
+    """(cell_key, region_ids) → (cell_key, cell_id, region_ids).
+
+    dense_rank over the canonical set string; empty ⇒ 0
+    (/root/reference/src/OsmTriangulationRegionStore.cpp:990-996).  The
+    window is over the *distinct set strings* (dimension-scale), not the
+    cells table, so the single-partition window is bounded.
+    """
+    keyed = cell_sets.withColumn("set_key", F.concat_ws(",", F.col("region_ids")))
+    distinct_sets = keyed.select("set_key").filter(F.col("set_key") != "").distinct()
+    w = Window.orderBy("set_key")
+    dict_df = distinct_sets.withColumn("cell_id", F.dense_rank().over(w))
+    return (
+        keyed.join(F.broadcast(dict_df), "set_key", "left")
+        .withColumn("cell_id", F.coalesce(F.col("cell_id"), F.lit(0)))
+        .select("cell_key", "cell_id", "region_ids")
+    )
+
+
+def build_cells_table(
+    point_cells: DataFrame, cell_index: DataFrame, rings_bcast, level: int = 6
+) -> DataFrame:
+    """distinct cells among points → the cells dictionary table
+    (cell_key, cell_id, region_ids)."""
+    return intern_cell_ids(cell_region_sets(point_cells, cell_index, rings_bcast, level))
+
+
+def assign_point_cell_ids(points_with_key: DataFrame, cells: DataFrame) -> DataFrame:
+    """points (with cell_key) → + cell_id (coalesce 0: outside-arrangement
+    contract, /root/reference/src/OsmTriangulationRegionStore.cpp:1113-1127)."""
+    return (
+        points_with_key.join(F.broadcast(cells.select("cell_key", "cell_id")), "cell_key", "left")
+        .withColumn("cell_id", F.coalesce(F.col("cell_id"), F.lit(0)))
+    )

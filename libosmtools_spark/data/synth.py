@@ -1,0 +1,458 @@
+"""Deterministic synthetic fixtures (FIXTURES.md; SURVEY.md §5).
+
+Generates, with a fixed seed, the spatial test corpus the reference has no
+equivalent of (it ships zero test files — /root/reference/CMakeLists.txt:26-29):
+
+- ``pages``: Common-Crawl-style web pages per BASELINE.json input_hint
+  ``(url, warc_ts, html, text, lang)`` with a geocode embedded
+  deterministically in ``text`` (byte-identical extraction asserted
+  end-to-end).
+- ``regions`` / ``region_rings``: a golden polygon store exercising
+  overlaps, nesting, holes, multipolygons, and a sliver.
+- ``nodes`` / ``ways`` / ``relations``: extraction-phase inputs mirroring
+  the AreaExtractor semantics (/root/reference/src/AreaExtractor.cpp).
+- golden outputs via brute-force numpy oracles: page→regions, cells
+  dictionary, page→cell, kNN.
+
+Everything is snapped to 1e-6 degrees (G5) before use so PIP results are
+machine-independent.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+import numpy as np
+import pandas as pd
+
+from libosmtools_spark.geom import kernels as K
+
+SEED = 42
+
+#: cell level used by fixtures + golden outputs (cell side = 180/2^6 = 2.8125°)
+FIXTURE_LEVEL = 6
+
+#: rows per scale factor (pages)
+SF_ROWS = {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000}
+
+KNN_K = 5
+
+
+# ---------------------------------------------------------------------------
+# region store
+# ---------------------------------------------------------------------------
+
+def region_spec():
+    """The golden polygon store: list of dicts
+    {region_id, name, rings: [(role, np.ndarray)], tags}.
+
+    Designed per FIXTURES.md §3: overlapping pair, nested regions, polygon
+    with hole, multipolygon with 3 outers, and a sliver (diameter-split
+    trigger, /root/reference/src/CellCriteria.cpp:77-93).  region_id is the
+    dense insertion index
+    (/root/reference/include/osmtools/OsmGridRegionTree.h:186-200).
+    """
+    R = K.rect_ring
+    tri = lambda pts: K.snap(np.array(pts + pts[:1], dtype=np.float64))  # noqa: E731
+    specs = [
+        # 0/1: overlapping pair → points in both → multi-element region sets
+        ("overlap_a", [("outer", R(10.0, 10.0, 20.0, 20.0))]),
+        ("overlap_b", [("outer", R(15.0, 15.0, 25.0, 25.0))]),
+        # 2/3: nested region-inside-region
+        ("nest_outer", [("outer", R(-30.0, 40.0, -10.0, 60.0))]),
+        ("nest_inner", [("outer", R(-25.0, 45.0, -15.0, 55.0))]),
+        # 4: polygon with hole
+        ("holed", [("outer", R(30.0, -60.0, 45.0, -40.0)), ("inner", R(35.0, -55.0, 40.0, -45.0))]),
+        # 5: multipolygon with 3 outers
+        (
+            "multi3",
+            [
+                ("outer", R(-50.0, -170.0, -45.0, -160.0)),
+                ("outer", R(-50.0, -150.0, -45.0, -140.0)),
+                ("outer", R(-60.0, -165.0, -55.0, -155.0)),
+            ],
+        ),
+        # 6: sliver (thin, long)
+        ("sliver", [("outer", R(50.0, 0.0, 50.2, 30.0))]),
+        # 7: triangle (non-rectilinear edges for the ray-cast path)
+        ("triangle", [("outer", tri([[60.0, 60.0], [70.0, 80.0], [60.0, 100.0]]))]),
+        # 8: near-antimeridian region (east side)
+        ("dateline_east", [("outer", R(-5.0, 170.0, 5.0, 179.5))]),
+        # 9: dense urban hotspot target (most clustered points land here)
+        ("urban", [("outer", R(48.0, 11.0, 48.4, 11.8))]),
+    ]
+    out = []
+    for rid, (name, rings) in enumerate(specs):
+        out.append(
+            {
+                "region_id": rid,
+                "name": name,
+                "rings": [(role, K.snap(r)) for role, r in rings],
+                "tags": {"name": name, "boundary": "administrative"},
+            }
+        )
+    return out
+
+
+def regions_frames(specs=None):
+    """→ (regions_df, region_rings_df) pandas frames (FIXTURES.md §3 schemas)."""
+    specs = specs or region_spec()
+    reg_rows, ring_rows = [], []
+    for s in specs:
+        pts = np.vstack([r for _, r in s["rings"]])
+        reg_rows.append(
+            {
+                "region_id": s["region_id"],
+                "name": s["name"],
+                "tags": s["tags"],
+                "min_lat": float(pts[:, 0].min()),
+                "max_lat": float(pts[:, 0].max()),
+                "min_lon": float(pts[:, 1].min()),
+                "max_lon": float(pts[:, 1].max()),
+            }
+        )
+        for ring_id, (role, ring) in enumerate(s["rings"]):
+            ring_rows.append(
+                {
+                    "region_id": s["region_id"],
+                    "ring_id": ring_id,
+                    "ring_role": role,
+                    "points": [{"lat": float(a), "lon": float(o)} for a, o in ring],
+                }
+            )
+    return pd.DataFrame(reg_rows), pd.DataFrame(ring_rows)
+
+
+# ---------------------------------------------------------------------------
+# pages
+# ---------------------------------------------------------------------------
+
+def gen_points(n: int, rng: np.random.Generator):
+    """~80% clustered in dense 'urban' cells, ~20% uniform, plus adversarial
+    points (FIXTURES.md §1)."""
+    n_cluster = int(n * 0.8)
+    n_unif = n - n_cluster
+    # three hotspots; the first gets half of all clustered mass (skew!)
+    centers = np.array([[48.2, 11.4], [17.5, 17.5], [-20.0, 50.0]])
+    w = np.array([0.5, 0.3, 0.2])
+    which = rng.choice(3, size=n_cluster, p=w)
+    lat = centers[which, 0] + rng.normal(0, 0.15, n_cluster)
+    lon = centers[which, 1] + rng.normal(0, 0.15, n_cluster)
+    ulat = rng.uniform(-85, 85, n_unif)
+    ulon = rng.uniform(-180, 180, n_unif)
+    lats = np.concatenate([lat, ulat])
+    lons = np.concatenate([lon, ulon])
+    # adversarial overrides on the first rows: vertices, edges, hole-inside,
+    # outside-all (cell 0), near antimeridian
+    adv = [
+        (10.0, 10.0),     # region vertex
+        (15.0, 20.0),     # shared edge of overlap pair
+        (37.0, -50.0),    # inside the hole of 'holed' → not in region 4
+        (-80.0, 100.0),   # outside all regions → cell_id 0
+        (0.0, 179.8),     # near antimeridian, inside dateline_east
+        (0.0, -179.9),    # near antimeridian, outside
+        (20.0, 20.0),     # corner shared by overlap pair
+        (48.2, 11.4),     # urban hotspot center
+    ]
+    for i, (a, o) in enumerate(adv):
+        if i < len(lats):
+            lats[i], lons[i] = a, o
+    return K.snap(np.clip(lats, -89.999999, 89.999999)), K.snap(K.norm_lon(lons))
+
+
+def pages_frame(sf: str) -> pd.DataFrame:
+    """pages(url, warc_ts, html, text, lang) — schemas per BASELINE.json
+    input_hint.  Deterministic for a given sf."""
+    n = SF_ROWS[sf]
+    rng = np.random.default_rng(SEED)
+    lats, lons = gen_points(n, rng)
+    i = np.arange(n)
+    urls = [f"https://site{j % 997}.example/p/{j}" for j in i]
+    base = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc)
+    ts = [base + _dt.timedelta(seconds=int(j) * 37) for j in i]
+    langs = np.array(["en", "de", "fr", "es", "pt"])[i % 5]
+    text = [
+        f"page {j} of crawl corpus. location geo:{a:.6f},{o:.6f} end. "
+        f"filler tokens alpha beta gamma delta {j % 17}."
+        for j, a, o in zip(i, lats, lons)
+    ]
+    html = [f"<html><body><p>{t}</p></body></html>".encode("utf-8") for t in text]
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": ts,
+            "html": html,
+            "text": text,
+            "lang": langs,
+        }
+    )
+
+
+def extract_geo(text_series: pd.Series):
+    """The byte-exact geocode extraction contract: 'geo:{lat:.6f},{lon:.6f}'."""
+    ext = text_series.str.extract(r"geo:(-?\d+\.\d{6}),(-?\d+\.\d{6})")
+    return ext[0].astype(np.float64).to_numpy(), ext[1].astype(np.float64).to_numpy()
+
+
+# ---------------------------------------------------------------------------
+# brute-force golden oracles
+# ---------------------------------------------------------------------------
+
+def brute_page_regions(lats, lons, specs=None) -> list[list[int]]:
+    """All-pairs exact PIP — the parity oracle (SURVEY.md §5 item 5)."""
+    specs = specs or region_spec()
+    n = len(lats)
+    sets = [[] for _ in range(n)]
+    for s in specs:
+        outers = [r for role, r in s["rings"] if role == "outer"]
+        inners = [r for role, r in s["rings"] if role == "inner"]
+        hit = K.point_in_rings(lats, lons, outers, inners)
+        for idx in np.flatnonzero(hit):
+            sets[idx].append(s["region_id"])
+    return [sorted(s) for s in sets]
+
+
+def golden_frames(pages: pd.DataFrame, specs=None, level: int = FIXTURE_LEVEL):
+    """→ dict of golden DataFrames (FIXTURES.md §4)."""
+    specs = specs or region_spec()
+    lats, lons = extract_geo(pages["text"])
+    region_lists = brute_page_regions(lats, lons, specs)
+    keys = K.cell_key(lats, lons, level)
+
+    golden_page_regions = pd.DataFrame(
+        {"url": pages["url"], "region_ids": region_lists}
+    )
+
+    # cells dictionary: per distinct cell among pages, regions containing the
+    # CELL CENTER (reference semantics: face-centroid PIP →
+    # /root/reference/src/OsmTriangulationRegionStore.cpp:946-1086), interned
+    # to dense cell ids with the empty set pinned to 0.
+    ukeys = np.unique(keys)
+    clat, clon = K.cell_center(ukeys)
+    center_lists = brute_page_regions(clat, clon, specs)
+    set_key = ["," .join(map(str, s)) for s in center_lists]
+    distinct = sorted(set(k for k in set_key if k))
+    dict_id = {k: i + 1 for i, k in enumerate(distinct)}
+    dict_id[""] = 0
+    cell_ids = np.array([dict_id[k] for k in set_key], dtype=np.int64)
+    golden_cells = pd.DataFrame(
+        {"cell_key": ukeys, "cell_id": cell_ids, "region_ids": center_lists}
+    )
+
+    key_to_cellid = dict(zip(ukeys.tolist(), cell_ids.tolist()))
+    golden_page_cells = pd.DataFrame(
+        {
+            "url": pages["url"],
+            "cell_key": keys,
+            "cell_id": [key_to_cellid[int(k)] for k in keys],
+        }
+    )
+
+    # kNN golden: squared-euclid degree metric, tie-break by url asc
+    n = len(pages)
+    if n <= 5000:  # brute force only at smoke scale
+        d2 = (lats[:, None] - lats[None, :]) ** 2 + (lons[:, None] - lons[None, :]) ** 2
+        np.fill_diagonal(d2, np.inf)
+        urls = pages["url"].to_numpy()
+        neigh = []
+        for i in range(n):
+            order = np.lexsort((urls, d2[i]))[:KNN_K]
+            neigh.append(list(urls[order]))
+        golden_knn = pd.DataFrame({"url": pages["url"], "neighbor_urls": neigh})
+    else:
+        golden_knn = None
+
+    out = {
+        "golden_page_regions": golden_page_regions,
+        "golden_cells": golden_cells,
+        "golden_page_cells": golden_page_cells,
+    }
+    if golden_knn is not None:
+        out["golden_knn"] = golden_knn
+    return out
+
+
+# ---------------------------------------------------------------------------
+# extraction-phase inputs (nodes / ways / relations)
+# ---------------------------------------------------------------------------
+
+def osm_frames():
+    """nodes/ways/relations per FIXTURES.md §2, covering every AreaExtractor
+    branch: kept closed ways, dropped open/untagged ways, missing-node reject
+    (/root/reference/src/AreaExtractor.cpp:198-204), multipolygon relations
+    with split outer rings in all 4 stitch orientations
+    (/root/reference/src/AreaExtractor.cpp:26-48), odd accepted roles
+    (/root/reference/src/AreaExtractor.cpp:305-309), an unclosable ring set,
+    and a 1-outer/0-inner demotion
+    (/root/reference/include/osmtools/AreaExtractor.h:48-55)."""
+    nodes, ways, rels = [], [], []
+
+    def add_nodes(ids, coords):
+        for nid, (a, o) in zip(ids, coords):
+            nodes.append({"node_id": nid, "lat": float(a), "lon": float(o)})
+
+    # --- kept closed way: square, tagged boundary (way 100)
+    add_nodes([1, 2, 3, 4], [(0, 0), (0, 1), (1, 1), (1, 0)])
+    ways.append({"way_id": 100, "refs": [1, 2, 3, 4, 1], "tags": {"boundary": "administrative", "name": "sq"}})
+    # --- closed but untagged (dropped) (way 101)
+    add_nodes([5, 6, 7, 8], [(2, 2), (2, 3), (3, 3), (3, 2)])
+    ways.append({"way_id": 101, "refs": [5, 6, 7, 8, 5], "tags": {}})
+    # --- tagged but open (dropped) (way 102)
+    ways.append({"way_id": 102, "refs": [1, 2, 3, 4], "tags": {"boundary": "administrative"}})
+    # --- closed, tagged, but only 4 refs → fails the >4 test (way 103,
+    #     triangle; predicate at /root/reference/src/AreaExtractor.cpp:163)
+    add_nodes([9, 10, 11], [(4, 4), (4, 5), (5, 5)])
+    ways.append({"way_id": 103, "refs": [9, 10, 11, 9], "tags": {"boundary": "administrative"}})
+    # --- way referencing a missing node (dropped with reject) (way 104)
+    ways.append({"way_id": 104, "refs": [1, 2, 999999, 4, 1], "tags": {"boundary": "administrative"}})
+    # --- landuse-tagged closed way (kept) (way 105)
+    add_nodes([12, 13, 14, 15], [(6, 6), (6, 7), (7, 7), (7, 6)])
+    ways.append({"way_id": 105, "refs": [12, 13, 14, 15, 12], "tags": {"landuse": "forest"}})
+    # --- place=island (kept via KeyMultiValue branch,
+    #     /root/reference/src/AreaExtractorFilters.cpp:26-37) (way 106)
+    add_nodes([16, 17, 18, 19], [(8, 8), (8, 9), (9, 9), (9, 8)])
+    ways.append({"way_id": 106, "refs": [16, 17, 18, 19, 16], "tags": {"place": "island"}})
+
+    # --- multipolygon rel 200: outer ring split across 4 open ways in mixed
+    #     orientations (the 4 endpoint-match cases), one inner hole way.
+    #     Outer square (10..11)x(10..11) via corner nodes 20-23 + midpoints.
+    add_nodes(
+        [20, 21, 22, 23, 24, 25, 26, 27],
+        [(10, 10), (10, 11), (11, 11), (11, 10), (10, 10.5), (10.5, 11), (11, 10.5), (10.5, 10)],
+    )
+    # segments: w301 fwd, w302 fwd, w303 REVERSED, w304 REVERSED → exercises
+    # back-front, back-back, front-front, front-back matching
+    ways.append({"way_id": 301, "refs": [20, 24, 21], "tags": {}})
+    ways.append({"way_id": 302, "refs": [21, 25, 22], "tags": {}})
+    ways.append({"way_id": 303, "refs": [23, 26, 22], "tags": {}})  # reversed
+    ways.append({"way_id": 304, "refs": [23, 27, 20], "tags": {}})
+    add_nodes([28, 29, 30, 31], [(10.3, 10.3), (10.3, 10.7), (10.7, 10.7), (10.7, 10.3)])
+    ways.append({"way_id": 305, "refs": [28, 29, 30, 31, 28], "tags": {}})  # hole (closed)
+    rels.append(
+        {
+            "rel_id": 200,
+            "members": [
+                {"type": "way", "ref": 301, "role": "outer"},
+                {"type": "way", "ref": 302, "role": ""},          # accepted as outer
+                {"type": "way", "ref": 303, "role": "Outer"},     # accepted as outer
+                {"type": "way", "ref": 304, "role": "outer:FIXME"},
+                {"type": "way", "ref": 305, "role": "inner"},
+                {"type": "node", "ref": 20, "role": "admin_centre"},  # non-way ignored
+            ],
+            "tags": {"type": "multipolygon", "boundary": "administrative", "name": "mp"},
+        }
+    )
+
+    # --- rel 201: 1 closed outer, 0 inner → demotion to plain polygon
+    add_nodes([40, 41, 42, 43], [(20, 20), (20, 21), (21, 21), (21, 20)])
+    ways.append({"way_id": 306, "refs": [40, 41, 42, 43, 40], "tags": {}})
+    rels.append(
+        {
+            "rel_id": 201,
+            "members": [{"type": "way", "ref": 306, "role": "outer"}],
+            "tags": {"type": "multipolygon", "landuse": "meadow"},
+        }
+    )
+
+    # --- rel 202: unclosable outer (gap) → allOk=false path, relation dropped
+    add_nodes([50, 51, 52, 53], [(30, 30), (30, 31), (31, 31), (31, 30)])
+    ways.append({"way_id": 307, "refs": [50, 51], "tags": {}})
+    ways.append({"way_id": 308, "refs": [52, 53], "tags": {}})  # no shared endpoint
+    rels.append(
+        {
+            "rel_id": 202,
+            "members": [
+                {"type": "way", "ref": 307, "role": "outer"},
+                {"type": "way", "ref": 308, "role": "outer"},
+            ],
+            "tags": {"type": "multipolygon", "natural": "water"},
+        }
+    )
+
+    # --- rel 203: enclave/exclave roles
+    add_nodes([60, 61, 62, 63], [(40, 40), (40, 42), (42, 42), (42, 40)])
+    add_nodes([64, 65, 66, 67], [(40.5, 40.5), (40.5, 41.5), (41.5, 41.5), (41.5, 40.5)])
+    ways.append({"way_id": 309, "refs": [60, 61, 62, 63, 60], "tags": {}})
+    ways.append({"way_id": 310, "refs": [64, 65, 66, 67, 64], "tags": {}})
+    rels.append(
+        {
+            "rel_id": 203,
+            "members": [
+                {"type": "way", "ref": 309, "role": "exclave"},
+                {"type": "way", "ref": 310, "role": "enclave"},
+            ],
+            "tags": {"type": "multipolygon", "boundary": "administrative"},
+        }
+    )
+
+    # tag-filter-miss relation (dropped before assembly)
+    rels.append(
+        {
+            "rel_id": 204,
+            "members": [{"type": "way", "ref": 306, "role": "outer"}],
+            "tags": {"type": "route"},
+        }
+    )
+
+    nodes_df = pd.DataFrame(nodes).drop_duplicates("node_id").reset_index(drop=True)
+    nodes_df["lat"] = K.snap(nodes_df["lat"].to_numpy())
+    nodes_df["lon"] = K.snap(nodes_df["lon"].to_numpy())
+    return nodes_df, pd.DataFrame(ways), pd.DataFrame(rels)
+
+
+# ---------------------------------------------------------------------------
+# materialization
+# ---------------------------------------------------------------------------
+
+def fixtures_dir(sf: str, root: str | None = None) -> str:
+    root = root or os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "fixtures")
+    return os.path.join(root, f"sf{sf}")
+
+
+def write_fixtures(sf: str, root: str | None = None) -> str:
+    """Write all fixture + golden parquet for one scale tier.  Idempotent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = fixtures_dir(sf, root)
+    os.makedirs(out, exist_ok=True)
+
+    def w(df: pd.DataFrame, name: str) -> None:
+        # micros, not nanos: Spark's parquet reader rejects TIMESTAMP(NANOS)
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            os.path.join(out, f"{name}.parquet"),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    pages = pages_frame(sf)
+    w(pages, "pages")
+
+    regions, rings = regions_frames()
+    w(regions, "regions")
+    w(rings, "region_rings")
+
+    for name, df in golden_frames(pages).items():
+        w(df, name)
+
+    nodes, ways, rels = osm_frames()
+    w(nodes, "nodes")
+    w(ways, "ways")
+    w(rels, "relations")
+    return out
+
+
+def ensure_fixtures(sf: str, root: str | None = None) -> str:
+    out = fixtures_dir(sf, root)
+    if not os.path.exists(os.path.join(out, "pages.parquet")):
+        write_fixtures(sf, root)
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+
+    for sf in sys.argv[1:] or ["0.001", "0.01", "0.1"]:
+        print(write_fixtures(sf))

@@ -1,0 +1,73 @@
+"""G4 — the cell-coverage index (the rebuild of ``addPolygonsToRaster``,
+/root/reference/src/OsmGridRegionTree.cpp:133-140).
+
+The reference lays a uniform grid over the global region bbox and refines
+each node quadtree-style while its geodesic diagonal exceeds 250 m
+(FixedSizeDiagRefiner, /root/reference/src/OsmGridRegionTree.cpp:13-30).
+Here the index is a DataFrame ``cell_index(cell_key, region_id, full)``:
+for every region, the cells at a chosen level overlapping it, classified
+
+- ``full = true``  — the cell lies entirely inside the region: query points
+  in it need **no geometry test** (the "definite" list of
+  /root/reference/include/osmtools/OsmGridRegionTree.h:110-112);
+- ``full = false`` — the region boundary touches the cell: query points go
+  through the exact ray-cast refine (the "candidate" list).
+
+The build fans out one pandas group per region (``applyInPandas``), so it
+scales with the region count; at planet scale the output is
+range-partitioned by cell_key so Iceberg/parquet partition pruning applies.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from libosmtools_spark.geom import kernels as K
+
+CELL_INDEX_SCHEMA = "cell_key long, region_id int, full boolean"
+
+
+def _rings_of_group(pdf: pd.DataFrame):
+    outers, inners = [], []
+    for _, row in pdf.iterrows():
+        ring = np.array([[p["lat"], p["lon"]] for p in row["points"]], dtype=np.float64)
+        (outers if row["ring_role"] == "outer" else inners).append(ring)
+    return outers, inners
+
+
+def build_cell_index(region_rings: DataFrame, level: int) -> DataFrame:
+    """region_rings(region_id, ring_id, ring_role, points) → cell_index.
+
+    Distributed: one task per region group; inside each group the coverage
+    computation is vectorized numpy (kernels.covering_cells).
+    """
+
+    def per_region(pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = int(pdf["region_id"].iloc[0])
+        outers, inners = _rings_of_group(pdf)
+        keys, full = K.covering_cells(outers, inners, level)
+        return pd.DataFrame(
+            {"cell_key": keys.astype(np.int64), "region_id": np.int32(rid), "full": full}
+        )
+
+    return region_rings.groupBy("region_id").applyInPandas(per_region, CELL_INDEX_SCHEMA)
+
+
+def rings_lookup(region_rings_pdf: pd.DataFrame) -> dict:
+    """Driver-side: region_id → (outer rings, inner rings) numpy arrays, for
+    broadcasting into the PIP-refine UDF.  The polygon store is
+    dimension-scale (admin boundaries ~1e5 rings at planet scale — well under
+    broadcast limits once encoded as float64 arrays)."""
+    out: dict[int, tuple[list, list]] = {}
+    for rid, grp in region_rings_pdf.groupby("region_id"):
+        outers, inners = _rings_of_group(grp)
+        out[int(rid)] = (outers, inners)
+    return out
+
+
+def load_region_rings(spark: SparkSession, fixtures_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{fixtures_dir}/region_rings.parquet")

@@ -1,0 +1,83 @@
+"""The flagship end-to-end pipeline (SURVEY.md §3.3 Spark lifecycle):
+
+pages → geocode(text) → cell_key arithmetic → cell-index equi-join →
+PIP-refine partial hits → region sets per url → cells dictionary →
+(url, cell_key, cell_id, region_ids).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from libosmtools_spark.cells.assign import assign_point_cell_ids, build_cells_table
+from libosmtools_spark.index.grid import build_cell_index, rings_lookup
+from libosmtools_spark.joins.spatial import (
+    geocode_pages,
+    page_region_sets,
+    spatial_join,
+    with_cell_key,
+)
+
+DEFAULT_LEVEL = 6
+
+
+class SpatialEngine:
+    """Holds the built index artifacts (the analog of the reference's
+    OsmGridRegionTree + OsmTriangulationRegionStore pair) for a region store.
+    """
+
+    def __init__(self, spark: SparkSession, region_rings: DataFrame, level: int = DEFAULT_LEVEL):
+        self.spark = spark
+        self.level = level
+        self.region_rings = region_rings
+        # dimension-scale: collect rings once, broadcast to every executor
+        self.rings_bcast = spark.sparkContext.broadcast(rings_lookup(region_rings.toPandas()))
+        self.cell_index = build_cell_index(region_rings, level).cache()
+
+    @classmethod
+    def from_fixtures(cls, spark: SparkSession, fixtures_dir: str, level: int = DEFAULT_LEVEL):
+        rings = spark.read.parquet(os.path.join(fixtures_dir, "region_rings.parquet"))
+        return cls(spark, rings, level)
+
+    # -- queries ---------------------------------------------------------
+
+    def page_points(self, pages: DataFrame) -> DataFrame:
+        return with_cell_key(geocode_pages(pages), level=self.level)
+
+    def page_regions(self, pages: DataFrame) -> DataFrame:
+        """(url, region_ids sorted array) for every page — join-output parity
+        target (BASELINE.json north_star)."""
+        pts = self.page_points(pages).select("url", "lat", "lon", "cell_key")
+        hits = spatial_join(pts, self.cell_index, self.rings_bcast, level=self.level)
+        return page_region_sets(hits.select("url", "region_id"), pages)
+
+    def page_region_rows(self, pages: DataFrame) -> DataFrame:
+        """Exploded (url, region_id) rows — the raw join output."""
+        pts = self.page_points(pages).select("url", "lat", "lon", "cell_key")
+        return spatial_join(pts, self.cell_index, self.rings_bcast, level=self.level).select(
+            "url", "region_id"
+        )
+
+    def cells(self, pages: DataFrame) -> DataFrame:
+        """(cell_key, cell_id, region_ids) dictionary over the cells the
+        pages occupy (T4)."""
+        pts = self.page_points(pages).select("cell_key")
+        return build_cells_table(pts, self.cell_index, self.rings_bcast, self.level)
+
+    def page_cells(self, pages: DataFrame) -> DataFrame:
+        """(url, cell_key, cell_id) — tile-to-cell assignment per url."""
+        pts = self.page_points(pages).select("url", "cell_key")
+        cells = self.cells(pages)
+        return assign_point_cell_ids(pts, cells).select("url", "cell_key", "cell_id")
+
+
+def run_flagship(spark: SparkSession, fixtures_dir: str, level: int = DEFAULT_LEVEL) -> DataFrame:
+    """pages → (url, cell_key, cell_id, region_ids)."""
+    pages = spark.read.parquet(os.path.join(fixtures_dir, "pages.parquet"))
+    eng = SpatialEngine.from_fixtures(spark, fixtures_dir, level)
+    pr = eng.page_regions(pages)
+    pc = eng.page_cells(pages)
+    return pc.join(pr, "url").select("url", "cell_key", "cell_id", "region_ids")

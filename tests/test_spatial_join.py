@@ -1,0 +1,149 @@
+"""End-to-end parity of the flagship spatial join vs the brute-force golden
+oracles (SURVEY.md §5 items 2/5; north_star: identical join output rows and
+tile-to-cell assignments per url)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_smoke):
+    from libosmtools_spark.pipeline import SpatialEngine
+
+    return SpatialEngine.from_fixtures(spark, sf_smoke)
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_smoke):
+    return spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).cache()
+
+
+def _sorted_records(pdf, key):
+    return pdf.sort_values(key).reset_index(drop=True)
+
+
+class TestColumnKernelParity:
+    def test_cell_key_col_matches_numpy(self, spark):
+        import numpy as np
+
+        from libosmtools_spark.geom import kernels as K
+        from libosmtools_spark.geom.columns import cell_key_col
+
+        rng = np.random.default_rng(5)
+        lat = K.snap(rng.uniform(-90, 90, 2000))
+        lon = K.snap(rng.uniform(-180, 180, 2000))
+        pdf = pd.DataFrame({"lat": lat, "lon": lon})
+        for level in (0, 4, 6, 12):
+            got = (
+                spark.createDataFrame(pdf)
+                .select(cell_key_col(F.col("lat"), F.col("lon"), level).alias("k"))
+                .toPandas()["k"]
+                .to_numpy()
+            )
+            want = K.cell_key(lat, lon, level)
+            assert (got == want).all(), f"level {level}"
+
+    def test_cell_key_sql_matches_in_duckdb(self, spark):
+        import duckdb
+        import numpy as np
+
+        from libosmtools_spark.geom import kernels as K
+        from libosmtools_spark.geom.columns import cell_key_sql
+
+        rng = np.random.default_rng(6)
+        lat = K.snap(rng.uniform(-90, 90, 2000))
+        lon = K.snap(rng.uniform(-180, 180, 2000))
+        df = pd.DataFrame({"lat": lat, "lon": lon})  # noqa: F841 (used via duckdb scan)
+        got = duckdb.sql(
+            f"select {cell_key_sql('lat', 'lon', 6)} as k from df"
+        ).df()["k"].to_numpy()
+        assert (got == K.cell_key(lat, lon, 6)).all()
+
+
+class TestPageRegionsParity:
+    def test_region_sets_match_golden(self, engine, pages, sf_smoke, spark):
+        got = engine.page_regions(pages).toPandas()
+        want = spark.read.parquet(os.path.join(sf_smoke, "golden_page_regions.parquet")).toPandas()
+        got["region_ids"] = got["region_ids"].map(lambda a: tuple(a))
+        want["region_ids"] = want["region_ids"].map(lambda a: tuple(a))
+        g = _sorted_records(got, "url")
+        w = _sorted_records(want, "url")
+        pd.testing.assert_frame_equal(g, w)
+
+    def test_every_page_has_a_row(self, engine, pages):
+        assert engine.page_regions(pages).count() == pages.count()
+
+    def test_byte_identical_text(self, engine, pages):
+        """input_hint invariant: text passes through untouched."""
+        out = engine.page_points(pages).select("url", "text")
+        diff = out.join(pages.select("url", F.col("text").alias("t0")), "url").filter(
+            F.col("text") != F.col("t0")
+        )
+        assert diff.count() == 0
+
+
+class TestCellsParity:
+    def test_cells_dictionary_matches_golden(self, engine, pages, sf_smoke, spark):
+        got = engine.cells(pages).toPandas()
+        want = spark.read.parquet(os.path.join(sf_smoke, "golden_cells.parquet")).toPandas()
+        got["region_ids"] = got["region_ids"].map(lambda a: tuple(a))
+        want["region_ids"] = want["region_ids"].map(lambda a: tuple(int(x) for x in a))
+        pd.testing.assert_frame_equal(
+            _sorted_records(got, "cell_key"),
+            _sorted_records(want, "cell_key"),
+            check_dtype=False,
+        )
+
+    def test_page_cells_match_golden(self, engine, pages, sf_smoke, spark):
+        got = engine.page_cells(pages).toPandas()
+        want = spark.read.parquet(os.path.join(sf_smoke, "golden_page_cells.parquet")).toPandas()
+        pd.testing.assert_frame_equal(
+            _sorted_records(got, "url"), _sorted_records(want, "url"), check_dtype=False
+        )
+
+
+class TestInvariants:
+    """Spark translation of selfTest()
+    (/root/reference/src/OsmTriangulationRegionStore.cpp:1227-1281)."""
+
+    def test_cell_id_space_gap_free(self, engine, pages):
+        cells = engine.cells(pages).toPandas()
+        nonzero = sorted(cells.loc[cells.cell_id > 0, "cell_id"].unique())
+        assert nonzero == list(range(1, len(nonzero) + 1))
+
+    def test_empty_set_iff_cell_zero(self, engine, pages):
+        cells = engine.cells(pages).toPandas()
+        for _, row in cells.iterrows():
+            assert (len(row["region_ids"]) == 0) == (row["cell_id"] == 0)
+
+    def test_cellid_regionset_bijection(self, engine, pages):
+        cells = engine.cells(pages).toPandas()
+        cells["k"] = cells["region_ids"].map(lambda a: tuple(a))
+        grp = cells.groupby("cell_id")["k"].nunique()
+        assert (grp == 1).all()
+        grp2 = cells.groupby("k")["cell_id"].nunique()
+        assert (grp2 == 1).all()
+
+    def test_region_lists_sorted_strictly_ascending(self, engine, pages):
+        cells = engine.cells(pages).toPandas()
+        for ids in cells["region_ids"]:
+            assert list(ids) == sorted(set(ids))
+
+
+class TestRoundTrip:
+    def test_write_read_back_identical(self, engine, pages, tmp_path, spark):
+        out = engine.page_cells(pages)
+        path = str(tmp_path / "page_cells.parquet")
+        out.write.mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        assert back.exceptAll(out).count() == 0
+        assert out.exceptAll(back).count() == 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
