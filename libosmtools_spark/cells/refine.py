@@ -1,0 +1,126 @@
+"""T5/T6/T16 — cell refinement: connected components and skew-bounded
+splitting.
+
+- ``connected_components``: the reference's makeConnected splits each cell
+  id into contiguous components over face adjacency (DFS relabel,
+  /root/reference/src/OsmTriangulationRegionStore.cpp:517-591).  Grid
+  version: iterative min-label propagation over the cell-key adjacency
+  graph restricted to same-cell_id edges — a bounded DataFrame loop with
+  localCheckpoint (lineage cut), the scalable substitute for the DFS.
+
+- ``refine_oversized``: the reference's refineCells bounds per-cell size
+  with pluggable criteria (CellTriangleCountCriteria,
+  /root/reference/src/CellCriteria.cpp:6-30; CellDiagonalCriteria :32-97)
+  via voronoi-style splitting (:593-759).  Grid version: any cell holding
+  more than ``max_points`` points is subdivided one level deeper
+  (quadtree), repeatedly, until bounded or ``max_level`` reached.  This is
+  semantic-skew mitigation: dense urban tiles get deeper keys, so the
+  downstream shuffle on cell_key is balanced — the same contract (bounded
+  cell size), grid-native mechanism.
+
+- round cap mirrors the reference's refinement loop bound
+  (/root/reference/include/osmtools/OsmTriangulationRegionStore.h:513).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from libosmtools_spark.geom.columns import cell_key_col
+from libosmtools_spark.geom.kernels import _LEVEL_SHIFT
+from libosmtools_spark.tiles.materialize import _neighbor_keys_udf
+
+MAX_ROUNDS = 10_000  # reference round cap
+
+
+def connected_components(cells: DataFrame, max_iter: int = 50) -> DataFrame:
+    """cells(cell_key, cell_id) → (cell_key, cell_id, refined_cell_id).
+
+    refined_cell_id is dense over (cell_id, component), so the
+    refined→unrefined map of the reference
+    (/root/reference/src/OsmTriangulationRegionStore.cpp:589) is just the
+    cell_id column retained alongside."""
+    neigh = _neighbor_keys_udf()
+    base = cells.select("cell_key", "cell_id")
+    # same-cell_id adjacency edges (both directions)
+    edges = (
+        base.withColumn("n_key", F.explode(neigh(F.col("cell_key"))))
+        .join(
+            base.select(F.col("cell_key").alias("n_key"), F.col("cell_id").alias("n_cell_id")),
+            "n_key",
+        )
+        .filter(F.col("cell_id") == F.col("n_cell_id"))
+        .select("cell_key", "n_key")
+    ).localCheckpoint()
+
+    labels = base.withColumn("label", F.col("cell_key"))
+    for _ in range(max_iter):
+        # propagate: label = min(own, neighbors')
+        nbr_min = (
+            edges.join(labels.select(F.col("cell_key").alias("n_key"), "label"), "n_key")
+            .groupBy("cell_key")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "cell_key", "left")
+            .withColumn("new_label", F.least(F.col("label"), F.coalesce("nbr_label", "label")))
+            .select("cell_key", "cell_id", F.col("new_label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(labels.select("cell_key", F.col("label").alias("old")), "cell_key")
+            .filter(F.col("label") != F.col("old"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+
+    w = Window.orderBy("cell_id", "label")
+    comp = labels.select("cell_id", "label").distinct().withColumn(
+        "refined_cell_id", F.dense_rank().over(w)
+    )
+    out = labels.join(comp, ["cell_id", "label"]).select("cell_key", "cell_id", "refined_cell_id")
+    # cell 0 keeps refined id 0 (the empty-region sentinel never splits —
+    # /root/reference/src/OsmTriangulationRegionStore.cpp:996)
+    return out.withColumn(
+        "refined_cell_id", F.when(F.col("cell_id") == 0, F.lit(0)).otherwise(F.col("refined_cell_id"))
+    )
+
+
+def refine_oversized(
+    points: DataFrame,
+    max_points: int,
+    max_level: int = 20,
+    lat: str = "lat",
+    lon: str = "lon",
+    key_col: str = "cell_key",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """points(…, lat, lon, cell_key) → same rows with cell_key subdivided
+    wherever a cell exceeded ``max_points`` (CellTriangleCountCriteria
+    contract, /root/reference/src/CellCriteria.cpp:24-26)."""
+    df = points
+    for _ in range(max_rounds):
+        counts = df.groupBy(key_col).agg(F.count("*").alias("n"))
+        hot = counts.filter(
+            (F.col("n") > max_points)
+            & (F.shiftright(F.col(key_col), _LEVEL_SHIFT) < max_level)
+        ).select(key_col)
+        if hot.isEmpty():
+            break
+        hot = F.broadcast(hot.withColumn("_hot", F.lit(True)))
+        df = df.join(hot, key_col, "left")
+        # level of a hot cell's key + 1 applies per-row; levels can differ
+        # across rows after several rounds, so recompute from the key itself
+        lvl = F.shiftright(F.col(key_col), _LEVEL_SHIFT)
+        new_keys = [
+            F.when(
+                F.col("_hot").isNotNull() & (lvl == level),
+                cell_key_col(F.col(lat), F.col(lon), level + 1),
+            )
+            for level in range(0, max_level)
+        ]
+        expr = F.coalesce(*new_keys, F.col(key_col))
+        df = df.withColumn(key_col, expr).drop("_hot").localCheckpoint()
+    return df

@@ -418,10 +418,17 @@ def write_fixtures(sf: str, root: str | None = None) -> str:
     out = fixtures_dir(sf, root)
     os.makedirs(out, exist_ok=True)
 
-    def w(df: pd.DataFrame, name: str) -> None:
+    def w(df: pd.DataFrame, name: str, map_cols: tuple[str, ...] = ()) -> None:
         # micros, not nanos: Spark's parquet reader rejects TIMESTAMP(NANOS)
+        tbl = pa.Table.from_pandas(df.drop(columns=list(map_cols)), preserve_index=False)
+        for c in map_cols:
+            # dict → real parquet MAP (pandas dicts infer as STRUCT otherwise)
+            arr = pa.array(
+                [list(d.items()) for d in df[c]], type=pa.map_(pa.string(), pa.string())
+            )
+            tbl = tbl.append_column(c, arr)
         pq.write_table(
-            pa.Table.from_pandas(df, preserve_index=False),
+            tbl,
             os.path.join(out, f"{name}.parquet"),
             coerce_timestamps="us",
             allow_truncated_timestamps=True,
@@ -431,7 +438,7 @@ def write_fixtures(sf: str, root: str | None = None) -> str:
     w(pages, "pages")
 
     regions, rings = regions_frames()
-    w(regions, "regions")
+    w(regions, "regions", map_cols=("tags",))
     w(rings, "region_rings")
 
     for name, df in golden_frames(pages).items():
@@ -439,8 +446,8 @@ def write_fixtures(sf: str, root: str | None = None) -> str:
 
     nodes, ways, rels = osm_frames()
     w(nodes, "nodes")
-    w(ways, "ways")
-    w(rels, "relations")
+    w(ways, "ways", map_cols=("tags",))
+    w(rels, "relations", map_cols=("tags",))
     return out
 
 

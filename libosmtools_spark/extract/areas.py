@@ -1,0 +1,313 @@
+"""AreaExtractor subsystem rebuilt Spark-first (S2–S10, SURVEY.md §2.1).
+
+The reference scans an OSM PBF five times with per-block thread fan-out
+(/root/reference/include/osmtools/AreaExtractor.h:191-271).  Here each pass
+is a DataFrame stage over ``nodes``/``ways``/``relations`` tables; block
+parallelism becomes partition parallelism and the shared hash maps become
+joins.
+
+Output contract: a unified region table
+``(source, orig_id, name, tags, ring_id, ring_role, points)`` with dense
+``region_id`` assigned by deterministic row_number (the thread-safe
+push_back contract, /root/reference/include/osmtools/OsmGridRegionTree.h:186-200).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# S2 — tag-filter predicate tree (/root/reference/src/AreaExtractorFilters.cpp:9-94)
+# ---------------------------------------------------------------------------
+
+#: extraction-type bits, mirroring
+#: /root/reference/include/osmtools/AreaExtractorFilters.h:13-23
+ET_BOUNDARY = 1
+ET_LANDUSE = 2
+ET_NATURAL = 4
+ET_AREA = 8
+ET_BUILDING = 16
+ET_ISLAND = 32
+ET_MULTIPOLYGON = 64
+ET_ALL = ET_BOUNDARY | ET_LANDUSE | ET_NATURAL | ET_AREA | ET_BUILDING | ET_ISLAND
+
+#: area-exclusion keys for the "area minus exclusions" conjunction
+#: (/root/reference/src/AreaExtractorFilters.cpp:38-63)
+AREA_EXCLUSION_KEYS = ("boundary", "landuse", "natural", "building", "highway", "railway")
+
+#: island multi-values (/root/reference/src/AreaExtractorFilters.cpp:26-37)
+ISLAND_VALUES = ("island", "archipelago", "islet")
+
+
+def tag_filter(extraction_types: int = ET_ALL) -> Column:
+    """Pure Column predicate over ``tags: map<string,string>`` — composed
+    Or/KeyOnly/KeyValue/KeyMultiValue exactly like
+    createExtractionFilter (/root/reference/src/AreaExtractorFilters.cpp:9-94).
+    Catalyst pushes it down to the scan."""
+    t = F.col("tags")
+    preds = []
+    if extraction_types & ET_BOUNDARY:
+        preds.append(F.map_contains_key(t, "boundary"))
+    if extraction_types & ET_LANDUSE:
+        preds.append(F.map_contains_key(t, "landuse"))
+    if extraction_types & ET_NATURAL:
+        preds.append(F.map_contains_key(t, "natural"))
+    if extraction_types & ET_ISLAND:
+        preds.append(F.element_at(t, "place").isin(*ISLAND_VALUES))
+    if extraction_types & ET_BUILDING:
+        preds.append(F.map_contains_key(t, "building"))
+    if extraction_types & ET_AREA:
+        area = F.map_contains_key(t, "area")
+        for k in AREA_EXCLUSION_KEYS:
+            area = area & ~F.map_contains_key(t, k)
+        preds.append(area)
+    out = F.lit(False)
+    for p in preds:
+        out = out | p
+    return out
+
+
+def relation_tag_filter(extraction_types: int = ET_ALL) -> Column:
+    """Relations additionally require type ∈ {multipolygon, multipoly,
+    boundary} (/root/reference/src/AreaExtractorFilters.cpp:64-83)."""
+    t = F.col("tags")
+    type_ok = F.element_at(t, "type").isin("multipolygon", "multipoly", "boundary")
+    return type_ok & tag_filter(extraction_types)
+
+
+# ---------------------------------------------------------------------------
+# S3/S4/S5 — closed-way extraction
+# ---------------------------------------------------------------------------
+
+def closed_way_filter() -> Column:
+    """>4 refs, first == last (/root/reference/src/AreaExtractor.cpp:163)."""
+    refs = F.col("refs")
+    return (F.size(refs) > 4) & (refs[0] == F.element_at(refs, -1))
+
+
+def extract_way_polygons(
+    nodes: DataFrame, ways: DataFrame, extraction_types: int = ET_ALL
+) -> DataFrame:
+    """Way phase (3 reference scans collapsed into one DAG):
+    S3 filter → S4 node semi-join → S5 assembly.  Ways referencing a missing
+    node are dropped (anti-join route,
+    /root/reference/src/AreaExtractor.cpp:198-204).
+
+    → (source='way', orig_id, name, tags, ring_id=0, ring_role='outer',
+       points array<struct<lat,lon>>)"""
+    kept = ways.filter(closed_way_filter() & tag_filter(extraction_types))
+
+    exploded = kept.select(
+        "way_id", "tags", F.posexplode("refs").alias("pos", "node_id")
+    )
+    # S4: gather coordinates only for needed nodes (semi-join reduction is
+    # implicit: the join keys are exactly the exploded refs)
+    with_coords = exploded.join(nodes, "node_id", "left")
+
+    # missing-node detection: any NULL lat in the group drops the way
+    assembled = with_coords.groupBy("way_id").agg(
+        F.first("tags").alias("tags"),
+        F.sum(F.col("lat").isNull().cast("int")).alias("n_missing"),
+        F.array_sort(F.collect_list(F.struct("pos", "lat", "lon"))).alias("pts"),
+    )
+    ok = assembled.filter(F.col("n_missing") == 0)
+    return ok.select(
+        F.lit("way").alias("source"),
+        F.col("way_id").alias("orig_id"),
+        F.element_at("tags", "name").alias("name"),
+        "tags",
+        F.lit(0).alias("ring_id"),
+        F.lit("outer").alias("ring_role"),
+        F.transform("pts", lambda s: F.struct(s["lat"].alias("lat"), s["lon"].alias("lon"))).alias(
+            "points"
+        ),
+    )
+
+
+def rejected_ways(nodes: DataFrame, ways: DataFrame, extraction_types: int = ET_ALL) -> DataFrame:
+    """The anti-join route: tag-matching closed ways dropped for missing
+    nodes (reject accounting, /root/reference/src/AreaExtractor.cpp:198-204)."""
+    kept = ways.filter(closed_way_filter() & tag_filter(extraction_types))
+    exploded = kept.select("way_id", F.explode("refs").alias("node_id"))
+    missing = exploded.join(nodes, "node_id", "left_anti")
+    return missing.select("way_id").distinct()
+
+
+# ---------------------------------------------------------------------------
+# S8 — role routing (/root/reference/src/AreaExtractor.cpp:305-313)
+# ---------------------------------------------------------------------------
+
+OUTER_ROLES = ("outer", "", "exclave", "Outer", "outer:FIXME")
+INNER_ROLES = ("inner", "enclave")
+
+
+def route_role(role: Column) -> Column:
+    return (
+        F.when(role.isin(*OUTER_ROLES), F.lit("outer"))
+        .when(role.isin(*INNER_ROLES), F.lit("inner"))
+        .otherwise(F.lit(None))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9 — ring stitching (numpy, per relation-role group)
+# ---------------------------------------------------------------------------
+
+def stitch_rings(way_point_lists: list[np.ndarray]) -> tuple[list[np.ndarray], bool]:
+    """Glue open way segments into closed rings by endpoint matching — the
+    4 orientation cases of MultiPolyResolver::closedPolysFromWays
+    (/root/reference/src/AreaExtractor.cpp:26-48): back-front, back-back,
+    front-front, front-back.  A ring is kept iff ≥4 points and closed
+    (:59-61).  Returns (rings, all_ok): all_ok False when leftovers could
+    not be closed (:59-65)."""
+    open_ways = [w for w in way_point_lists if len(w) >= 2]
+    rings: list[np.ndarray] = []
+    # separate already-closed ways first
+    pending = []
+    for w in open_ways:
+        if len(w) >= 4 and (w[0] == w[-1]).all():
+            rings.append(w)
+        else:
+            pending.append(w)
+
+    all_ok = True
+    while pending:
+        cur = pending.pop(0)
+        progress = True
+        while not ((len(cur) >= 4) and (cur[0] == cur[-1]).all()) and progress:
+            progress = False
+            for i, seg in enumerate(pending):
+                if (cur[-1] == seg[0]).all():      # back-front
+                    cur = np.vstack([cur, seg[1:]])
+                elif (cur[-1] == seg[-1]).all():   # back-back
+                    cur = np.vstack([cur, seg[::-1][1:]])
+                elif (cur[0] == seg[-1]).all():    # front-back
+                    cur = np.vstack([seg, cur[1:]])
+                elif (cur[0] == seg[0]).all():     # front-front
+                    cur = np.vstack([seg[::-1], cur[1:]])
+                else:
+                    continue
+                pending.pop(i)
+                progress = True
+                break
+        if len(cur) >= 4 and (cur[0] == cur[-1]).all():
+            rings.append(cur)
+        else:
+            all_ok = False  # unclosable leftover (partial result path)
+    return rings, all_ok
+
+
+# ---------------------------------------------------------------------------
+# S6/S7/S10 — relation (multipolygon) assembly
+# ---------------------------------------------------------------------------
+
+REGION_SCHEMA = (
+    "source string, orig_id long, name string, tags map<string,string>, "
+    "ring_id int, ring_role string, points array<struct<lat:double,lon:double>>"
+)
+
+
+def extract_relation_polygons(
+    nodes: DataFrame, ways: DataFrame, relations: DataFrame, extraction_types: int = ET_ALL
+) -> DataFrame:
+    """Relation phase (4 reference scans → one DAG): S6 member collection →
+    S7 way-ref gather → S4 node gather → S9/S10 stitch + assemble.
+
+    Relations with any unclosable ring set are dropped entirely (the
+    reference's allOk=false aborts the relation,
+    /root/reference/src/AreaExtractor.cpp:73-90)."""
+    rels = relations.filter(relation_tag_filter(extraction_types)).select(
+        "rel_id", "tags", F.explode("members").alias("m")
+    )
+    members = rels.filter(F.col("m.type") == "way").select(
+        "rel_id",
+        "tags",
+        F.col("m.ref").alias("way_id"),
+        route_role(F.col("m.role")).alias("ring_role"),
+    ).filter(F.col("ring_role").isNotNull())
+
+    # S7: gather refs of needed ways; S4: node coords
+    way_pts = (
+        members.join(ways.select("way_id", "refs"), "way_id")
+        .select("rel_id", "tags", "way_id", "ring_role", F.posexplode("refs").alias("pos", "node_id"))
+        .join(nodes, "node_id", "left")
+    )
+
+    # drop relations touching a missing node (same reject semantics as ways)
+    bad_rels = way_pts.filter(F.col("lat").isNull()).select("rel_id").distinct()
+    way_pts = way_pts.join(bad_rels, "rel_id", "left_anti")
+
+    grouped = way_pts.groupBy("rel_id", "way_id", "ring_role").agg(
+        F.first("tags").alias("tags"),
+        F.array_sort(F.collect_list(F.struct("pos", "lat", "lon"))).alias("pts"),
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel_id = int(pdf["rel_id"].iloc[0])
+        tags = pdf["tags"].iloc[0]
+        name = tags.get("name") if isinstance(tags, dict) else None
+        out_rows = []
+        ok = True
+        rings_by_role = {}
+        for role in ("outer", "inner"):
+            ways_pts = [
+                np.array([[p["lat"], p["lon"]] for p in pts], dtype=np.float64)
+                for pts in pdf.loc[pdf["ring_role"] == role, "pts"]
+            ]
+            if not ways_pts:
+                rings_by_role[role] = []
+                continue
+            rings, role_ok = stitch_rings(ways_pts)
+            ok = ok and role_ok
+            rings_by_role[role] = rings
+        if not ok or not rings_by_role["outer"]:
+            return pd.DataFrame(
+                columns=["source", "orig_id", "name", "tags", "ring_id", "ring_role", "points"]
+            )
+        ring_id = 0
+        for role in ("outer", "inner"):  # outers first, then inners —
+            # contiguous storage order (/root/reference/include/osmtools/OsmGridRegionTree.h:42-54)
+            for ring in rings_by_role[role]:
+                out_rows.append(
+                    {
+                        "source": "relation",
+                        "orig_id": rel_id,
+                        "name": name,
+                        "tags": tags,
+                        "ring_id": ring_id,
+                        "ring_role": role,
+                        "points": [{"lat": float(a), "lon": float(o)} for a, o in ring],
+                    }
+                )
+                ring_id += 1
+        return pd.DataFrame(out_rows)
+
+    return grouped.groupBy("rel_id").applyInPandas(assemble, REGION_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# unified region table with dense ids (G1/G2)
+# ---------------------------------------------------------------------------
+
+def extract_regions(
+    nodes: DataFrame, ways: DataFrame, relations: DataFrame, extraction_types: int = ET_ALL
+) -> DataFrame:
+    """Full extraction: ways ∪ relations → dense region_id by canonical
+    (source, orig_id) order (G2's deterministic id contract)."""
+    w = extract_way_polygons(nodes, ways, extraction_types)
+    r = extract_relation_polygons(nodes, ways, relations, extraction_types)
+    both = w.unionByName(r)
+    ids = (
+        both.select("source", "orig_id")
+        .distinct()
+        .withColumn(
+            "region_id",
+            F.row_number().over(Window.orderBy("source", "orig_id")) - 1,
+        )
+    )
+    return both.join(ids, ["source", "orig_id"]).select(
+        "region_id", "source", "orig_id", "name", "tags", "ring_id", "ring_role", "points"
+    )

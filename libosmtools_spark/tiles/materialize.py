@@ -1,0 +1,156 @@
+"""Raster↔vector tile materialization + cell-graph operators (T9–T12,
+plus the north-rule raster↔vector requirement).
+
+- vector→raster: polygons exploded into covering cells — the G4 machinery
+  (/root/reference/src/OsmGridRegionTree.cpp:133-140).
+- raster→vector: cells grouped back into tile rectangles (the cell IS a
+  rectangle on the uniform grid; a region's raster footprint is the union).
+- cell dual graph: adjacent distinct cell-id pairs
+  (/root/reference/src/OsmTriangulationRegionStore.cpp:382-429) — grid-
+  native via ring-1 neighbor keys.
+- cell sizes/representatives (T10, :280-292), center of mass (T11,
+  :294-320), region→cells inverted index (T12,
+  /root/reference/include/osmtools/OsmTriangulationRegionStore.h:538-553),
+  per-cell stats (T22, :1088-1111).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from libosmtools_spark.geom import kernels as K
+from libosmtools_spark.geom.columns import cell_bounds_cols, cell_center_cols
+from libosmtools_spark.index.grid import build_cell_index
+
+
+def vector_to_raster(region_rings: DataFrame, level: int) -> DataFrame:
+    """region polygons → covering cells (cell_key, region_id, full) —
+    alias of the index build; exposed as the materialization operator."""
+    return build_cell_index(region_rings, level)
+
+
+def raster_to_vector(cells: DataFrame) -> DataFrame:
+    """cells(cell_key, …) → one rectangle polygon per cell:
+    (cell_key, min_lat, max_lat, min_lon, max_lon, ring array of 5 closed
+    CCW points — GeoPolygon::fromRect contract,
+    /root/reference/src/types.cpp:9-17)."""
+    mn_lat, mx_lat, mn_lon, mx_lon = cell_bounds_cols(F.col("cell_key"))
+    pt = lambda a, o: F.struct(a.alias("lat"), o.alias("lon"))  # noqa: E731
+    return cells.select(
+        "cell_key",
+        mn_lat.alias("min_lat"),
+        mx_lat.alias("max_lat"),
+        mn_lon.alias("min_lon"),
+        mx_lon.alias("max_lon"),
+        F.array(
+            pt(mn_lat, mn_lon),
+            pt(mn_lat, mx_lon),
+            pt(mx_lat, mx_lon),
+            pt(mx_lat, mn_lon),
+            pt(mn_lat, mn_lon),
+        ).alias("ring"),
+    )
+
+
+def region_raster_footprint(cell_index: DataFrame) -> DataFrame:
+    """per-region raster summary: covering-cell count, full/partial split,
+    bbox of the footprint."""
+    mn_lat, mx_lat, mn_lon, mx_lon = cell_bounds_cols(F.col("cell_key"))
+    return (
+        cell_index.withColumn("c_min_lat", mn_lat)
+        .withColumn("c_max_lat", mx_lat)
+        .withColumn("c_min_lon", mn_lon)
+        .withColumn("c_max_lon", mx_lon)
+        .groupBy("region_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.col("full").cast("int")).alias("n_full"),
+            F.min("c_min_lat").alias("min_lat"),
+            F.max("c_max_lat").alias("max_lat"),
+            F.min("c_min_lon").alias("min_lon"),
+            F.max("c_max_lon").alias("max_lon"),
+        )
+    )
+
+
+def _neighbor_keys_udf():
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def neigh(keys: pd.Series) -> pd.Series:
+        uniq = keys.unique()
+        table = {int(c): [x for x in K.cell_ring(int(c), 1).tolist() if x != int(c)] for c in uniq}
+        return keys.map(lambda c: table[int(c)])
+
+    return neigh
+
+
+def cell_dual_graph(cells: DataFrame) -> DataFrame:
+    """cells(cell_key, cell_id) → distinct adjacent (cell_id_a < cell_id_b)
+    pairs — T9's sorted distinct edge set
+    (/root/reference/src/OsmTriangulationRegionStore.cpp:389-407).  Grid
+    adjacency: ring-1 neighbor keys, restricted to cells present."""
+    neigh = _neighbor_keys_udf()
+    base = cells.select("cell_key", "cell_id")
+    nbrs = (
+        base.withColumn("n_key", F.explode(neigh(F.col("cell_key"))))
+        .join(
+            base.select(F.col("cell_key").alias("n_key"), F.col("cell_id").alias("n_cell_id")),
+            "n_key",
+        )
+        .filter(F.col("cell_id") != F.col("n_cell_id"))
+    )
+    return (
+        nbrs.select(
+            F.least("cell_id", "n_cell_id").alias("cell_id_a"),
+            F.greatest("cell_id", "n_cell_id").alias("cell_id_b"),
+        )
+        .distinct()
+        .orderBy("cell_id_a", "cell_id_b")
+    )
+
+
+def cell_sizes(point_cells: DataFrame) -> DataFrame:
+    """T10: per-cell point count + representative (first point id seen —
+    deterministic: min id).  (/root/reference/src/OsmTriangulationRegionStore.cpp:280-292)."""
+    id_col = [c for c in point_cells.columns if c not in ("cell_key", "cell_id")][0]
+    return point_cells.groupBy("cell_id").agg(
+        F.count("*").alias("n_points"), F.min(id_col).alias("representative")
+    )
+
+
+def cell_center_of_mass(point_cells_latlon: DataFrame) -> DataFrame:
+    """T11: mean of member point coords per cell
+    (/root/reference/src/OsmTriangulationRegionStore.cpp:294-320 — mean of
+    face centroids; points are our faces' sample set)."""
+    return point_cells_latlon.groupBy("cell_id").agg(
+        F.avg("lat").alias("com_lat"), F.avg("lon").alias("com_lon")
+    )
+
+
+def region_cells_inverted(cells: DataFrame) -> DataFrame:
+    """T12: region_id → cells containing it (one row per pair)
+    (/root/reference/include/osmtools/OsmTriangulationRegionStore.h:538-553)."""
+    return cells.select("cell_key", "cell_id", F.explode("region_ids").alias("region_id"))
+
+
+def cell_stats(point_cells: DataFrame) -> DataFrame:
+    """T22: min/max/median/mean points per cell, cell 0 excluded
+    (/root/reference/src/OsmTriangulationRegionStore.cpp:1088-1111)."""
+    sizes = point_cells.filter(F.col("cell_id") != 0).groupBy("cell_id").agg(
+        F.count("*").alias("n")
+    )
+    return sizes.agg(
+        F.min("n").alias("min_points"),
+        F.max("n").alias("max_points"),
+        F.expr("percentile_approx(n, 0.5)").alias("median_points"),
+        F.avg("n").alias("mean_points"),
+        F.count("*").alias("n_cells"),
+    )
+
+
+def cell_centers(cells: DataFrame) -> DataFrame:
+    """cell midpoints (T3 analog) as columns."""
+    clat, clon = cell_center_cols(F.col("cell_key"))
+    return cells.select("cell_key", clat.alias("center_lat"), clon.alias("center_lon"))

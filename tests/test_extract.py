@@ -1,0 +1,150 @@
+"""AreaExtractor-semantics tests over the osm fixtures (FIXTURES.md §2)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def osm(spark, sf_smoke):
+    nodes = spark.read.parquet(os.path.join(sf_smoke, "nodes.parquet"))
+    ways = spark.read.parquet(os.path.join(sf_smoke, "ways.parquet"))
+    rels = spark.read.parquet(os.path.join(sf_smoke, "relations.parquet"))
+    return nodes.cache(), ways.cache(), rels.cache()
+
+
+class TestStitchKernel:
+    """The 4 endpoint-orientation cases of
+    /root/reference/src/AreaExtractor.cpp:26-48 + rejection (:59-65)."""
+
+    def seg(self, *pts):
+        return np.array(pts, dtype=np.float64)
+
+    def test_back_front(self):
+        from libosmtools_spark.extract.areas import stitch_rings
+
+        a = self.seg([0, 0], [0, 1])
+        b = self.seg([0, 1], [1, 1])
+        c = self.seg([1, 1], [1, 0])
+        d = self.seg([1, 0], [0, 0])
+        rings, ok = stitch_rings([a, b, c, d])
+        assert ok and len(rings) == 1 and len(rings[0]) == 5
+
+    def test_mixed_orientations(self):
+        from libosmtools_spark.extract.areas import stitch_rings
+
+        a = self.seg([0, 0], [0, 1])          # fwd
+        b = self.seg([1, 1], [0, 1])          # reversed (back-back w.r.t. a)
+        c = self.seg([1, 0], [1, 1])          # reversed
+        d = self.seg([0, 0], [1, 0])          # front-front closing
+        rings, ok = stitch_rings([a, b, c, d])
+        assert ok and len(rings) == 1 and len(rings[0]) == 5
+        assert (rings[0][0] == rings[0][-1]).all()
+
+    def test_unclosable(self):
+        from libosmtools_spark.extract.areas import stitch_rings
+
+        a = self.seg([0, 0], [0, 1])
+        b = self.seg([5, 5], [6, 6])
+        rings, ok = stitch_rings([a, b])
+        assert not ok
+
+    def test_two_separate_rings(self):
+        from libosmtools_spark.extract.areas import stitch_rings
+
+        r1 = self.seg([0, 0], [0, 1], [1, 1], [1, 0], [0, 0])
+        r2 = self.seg([5, 5], [5, 6], [6, 6], [6, 5], [5, 5])
+        rings, ok = stitch_rings([r1, r2])
+        assert ok and len(rings) == 2
+
+
+class TestWayExtraction:
+    def test_kept_and_dropped(self, osm):
+        from libosmtools_spark.extract.areas import extract_way_polygons
+
+        nodes, ways, rels = osm
+        out = extract_way_polygons(nodes, ways).toPandas()
+        kept = set(out["orig_id"])
+        # way 100 boundary, 105 landuse, 106 place=island are kept
+        assert kept == {100, 105, 106}
+        sq = out[out["orig_id"] == 100].iloc[0]
+        assert len(sq["points"]) == 5
+        assert sq["points"][0] == sq["points"][-1]
+
+    def test_missing_node_rejected_and_counted(self, osm):
+        from libosmtools_spark.extract.areas import rejected_ways
+
+        nodes, ways, rels = osm
+        rej = rejected_ways(nodes, ways).toPandas()
+        assert set(rej["way_id"]) == {104}
+
+
+class TestRelationExtraction:
+    def test_multipolygon_assembled(self, osm):
+        from libosmtools_spark.extract.areas import extract_relation_polygons
+
+        nodes, ways, rels = osm
+        out = extract_relation_polygons(nodes, ways, rels).toPandas()
+        by_rel = dict(tuple(out.groupby("orig_id")))
+        # rel 200: 1 stitched outer (from 4 mixed-orientation ways) + 1 inner
+        r200 = by_rel[200]
+        assert set(r200["ring_role"]) == {"outer", "inner"}
+        outer = r200[r200.ring_role == "outer"].iloc[0]
+        assert len(outer["points"]) == 9  # 8 distinct corners/midpoints + closure
+        assert outer["points"][0] == outer["points"][-1]
+        # outers stored before inners
+        assert list(r200.sort_values("ring_id")["ring_role"]) == ["outer", "inner"]
+
+    def test_demotion_single_outer(self, osm):
+        from libosmtools_spark.extract.areas import extract_relation_polygons
+
+        nodes, ways, rels = osm
+        out = extract_relation_polygons(nodes, ways, rels).toPandas()
+        r201 = out[out["orig_id"] == 201]
+        assert len(r201) == 1 and r201.iloc[0]["ring_role"] == "outer"
+
+    def test_unclosable_relation_dropped(self, osm):
+        from libosmtools_spark.extract.areas import extract_relation_polygons
+
+        nodes, ways, rels = osm
+        out = extract_relation_polygons(nodes, ways, rels).toPandas()
+        assert 202 not in set(out["orig_id"])
+
+    def test_enclave_exclave_roles(self, osm):
+        from libosmtools_spark.extract.areas import extract_relation_polygons
+
+        nodes, ways, rels = osm
+        out = extract_relation_polygons(nodes, ways, rels).toPandas()
+        r203 = out[out["orig_id"] == 203]
+        roles = set(r203["ring_role"])
+        assert roles == {"outer", "inner"}  # exclave→outer, enclave→inner
+
+    def test_tag_filter_miss_dropped(self, osm):
+        from libosmtools_spark.extract.areas import extract_relation_polygons
+
+        nodes, ways, rels = osm
+        out = extract_relation_polygons(nodes, ways, rels).toPandas()
+        assert 204 not in set(out["orig_id"])
+
+
+class TestUnifiedRegions:
+    def test_dense_ids(self, osm):
+        from libosmtools_spark.extract.areas import extract_regions
+
+        nodes, ways, rels = osm
+        out = extract_regions(nodes, ways, rels).toPandas()
+        ids = sorted(out["region_id"].unique())
+        assert ids == list(range(len(ids)))
+        # deterministic: re-run gives identical assignment
+        out2 = extract_regions(nodes, ways, rels).toPandas()
+        m1 = out[["region_id", "source", "orig_id"]].drop_duplicates().sort_values("region_id")
+        m2 = out2[["region_id", "source", "orig_id"]].drop_duplicates().sort_values("region_id")
+        assert m1.reset_index(drop=True).equals(m2.reset_index(drop=True))
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

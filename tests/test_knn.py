@@ -1,0 +1,49 @@
+"""kNN ring-expansion vs brute-force golden (FIXTURES.md §4 golden_knn)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pages_pts(spark, sf_smoke):
+    from libosmtools_spark.joins.spatial import geocode_pages
+
+    pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet"))
+    return geocode_pages(pages).select("url", "lat", "lon").cache()
+
+
+def test_knn_matches_golden(spark, sf_smoke, pages_pts):
+    from libosmtools_spark.knn.ring import knn_join, knn_neighbor_lists
+
+    rows = knn_join(pages_pts, "url", k=5, level=6)
+    got = knn_neighbor_lists(rows, "url").toPandas()
+    want = spark.read.parquet(os.path.join(sf_smoke, "golden_knn.parquet")).toPandas()
+    got["neighbor_ids"] = got["neighbor_ids"].map(tuple)
+    want = want.rename(columns={"neighbor_urls": "neighbor_ids"})
+    want["neighbor_ids"] = want["neighbor_ids"].map(tuple)
+    g = got.sort_values("url").reset_index(drop=True)
+    w = want.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_knn_row_shape(spark, pages_pts):
+    from libosmtools_spark.knn.ring import knn_join
+
+    rows = knn_join(pages_pts.limit(200), "url", k=3, level=6)
+    pdf = rows.toPandas()
+    # every query id has exactly k=3 ranked rows, ranks 1..3
+    counts = pdf.groupby("url")["rank"].agg(["count", "min", "max"])
+    assert (counts["count"] == 3).all()
+    assert (counts["min"] == 1).all()
+    assert (counts["max"] == 3).all()
+    # no self matches
+    assert (pdf["url"] != pdf["neighbor_id"]).all()
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

@@ -1,0 +1,141 @@
+"""Tiles materialization (T9-T12, raster↔vector) and refinement (T5/T6)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_smoke):
+    from libosmtools_spark.pipeline import SpatialEngine
+
+    return SpatialEngine.from_fixtures(spark, sf_smoke)
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_smoke):
+    return spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def cells(engine, pages):
+    return engine.cells(pages).cache()
+
+
+class TestRasterVector:
+    def test_raster_to_vector_rects(self, cells, spark):
+        from libosmtools_spark.tiles.materialize import raster_to_vector
+
+        out = raster_to_vector(cells).toPandas()
+        assert len(out) == cells.count()
+        r = out.iloc[0]
+        assert len(r["ring"]) == 5
+        assert r["ring"][0] == r["ring"][-1]
+        assert r["min_lat"] < r["max_lat"] and r["min_lon"] < r["max_lon"]
+        # cell size at level 6 is 2.8125 deg
+        assert abs((r["max_lat"] - r["min_lat"]) - 2.8125) < 1e-9
+
+    def test_vector_to_raster_roundtrip_contains_points(self, spark, sf_smoke, engine, pages):
+        from libosmtools_spark.tiles.materialize import vector_to_raster
+
+        rings = spark.read.parquet(os.path.join(sf_smoke, "region_rings.parquet"))
+        cov = vector_to_raster(rings, 6).toPandas()
+        # urban region (9) fully covered: all pages with region 9 land in its cells
+        pr = engine.page_region_rows(pages).filter(F.col("region_id") == 9)
+        keys = set(
+            engine.page_points(pages)
+            .join(pr, "url", "left_semi")
+            .select("cell_key")
+            .toPandas()["cell_key"]
+        )
+        cov9 = set(cov.loc[cov.region_id == 9, "cell_key"])
+        assert keys <= cov9
+
+    def test_footprint(self, spark, sf_smoke):
+        from libosmtools_spark.index.grid import build_cell_index
+        from libosmtools_spark.tiles.materialize import region_raster_footprint
+
+        rings = spark.read.parquet(os.path.join(sf_smoke, "region_rings.parquet"))
+        idx = build_cell_index(rings, 6)
+        fp = region_raster_footprint(idx).toPandas().set_index("region_id")
+        assert (fp["n_cells"] >= 1).all()
+        assert (fp["n_full"] <= fp["n_cells"]).all()
+        # footprint bbox contains the region bbox
+        regs = spark.read.parquet(os.path.join(sf_smoke, "regions.parquet")).toPandas().set_index("region_id")
+        for rid in regs.index:
+            assert fp.loc[rid, "min_lat"] <= regs.loc[rid, "min_lat"] + 1e-9
+            assert fp.loc[rid, "max_lat"] >= regs.loc[rid, "max_lat"] - 1e-9
+
+
+class TestCellGraph:
+    def test_dual_graph_edges(self, cells):
+        from libosmtools_spark.tiles.materialize import cell_dual_graph
+
+        edges = cell_dual_graph(cells).toPandas()
+        assert (edges["cell_id_a"] < edges["cell_id_b"]).all()
+        assert not edges.duplicated(["cell_id_a", "cell_id_b"]).any()
+
+    def test_inverted_index(self, cells):
+        from libosmtools_spark.tiles.materialize import region_cells_inverted
+
+        inv = region_cells_inverted(cells).toPandas()
+        pdf = cells.toPandas()
+        expect = sum(len(r) for r in pdf["region_ids"])
+        assert len(inv) == expect
+
+    def test_sizes_com_stats(self, engine, pages, cells):
+        from libosmtools_spark.cells.assign import assign_point_cell_ids
+        from libosmtools_spark.tiles.materialize import (
+            cell_center_of_mass,
+            cell_sizes,
+            cell_stats,
+        )
+
+        pts = engine.page_points(pages).select("url", "lat", "lon", "cell_key")
+        pc = assign_point_cell_ids(pts, cells).cache()
+        sizes = cell_sizes(pc.select("url", "cell_key", "cell_id")).toPandas()
+        assert sizes["n_points"].sum() == pages.count()
+        com = cell_center_of_mass(pc.select("cell_id", "lat", "lon")).toPandas()
+        assert com["com_lat"].between(-90, 90).all()
+        stats = cell_stats(pc.select("url", "cell_id")).toPandas().iloc[0]
+        assert stats["min_points"] >= 1
+        assert stats["min_points"] <= stats["median_points"] <= stats["max_points"]
+
+
+class TestRefine:
+    def test_connected_components_splits_multi3(self, spark, engine, pages, cells):
+        """Region 5 has 3 disjoint outer rectangles → its cell id must split
+        into ≥3 refined components (the makeConnected contract)."""
+        from libosmtools_spark.cells.refine import connected_components
+
+        cc = connected_components(cells.select("cell_key", "cell_id")).toPandas()
+        merged = cells.toPandas().merge(cc, on=["cell_key", "cell_id"])
+        multi3 = merged[merged["region_ids"].map(lambda a: list(a) == [5])]
+        if len(multi3) >= 3:
+            assert multi3["refined_cell_id"].nunique() >= 3
+        # invariants: refined ids dense, cell 0 stays 0
+        z = merged[merged.cell_id == 0]
+        assert (z["refined_cell_id"] == 0).all()
+        # each refined id maps to exactly one unrefined id
+        assert (merged.groupby("refined_cell_id")["cell_id"].nunique() == 1).all()
+
+    def test_refine_oversized_bounds_counts(self, engine, pages):
+        from libosmtools_spark.cells.refine import refine_oversized
+        from libosmtools_spark.geom.kernels import _LEVEL_SHIFT
+
+        pts = engine.page_points(pages).select("url", "lat", "lon", "cell_key")
+        refined = refine_oversized(pts, max_points=100, max_level=20)
+        counts = refined.groupBy("cell_key").count().toPandas()
+        assert counts["count"].max() <= 100
+        # rows preserved
+        assert counts["count"].sum() == pages.count()
+        levels = (counts["cell_key"].to_numpy() >> _LEVEL_SHIFT)
+        assert levels.max() > 6  # hotspots actually got subdivided
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
