@@ -1,0 +1,68 @@
+"""Structured-Streaming ingestion of a pages stream (north-rule batch
+lineage is primary; streaming is the continuous-arrival variant of the same
+flagship pipeline — geocode → cell key → windowed per-cell counts).
+
+The stateless stages (geocode, cell key) reuse the exact batch Columns, so
+streaming and batch cannot drift.  Watermarked tumbling windows bound state
+for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libosmtools_spark.joins.spatial import geocode_pages, with_cell_key
+
+
+def stream_cell_counts(
+    pages_stream: DataFrame,
+    level: int = 6,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """pages stream → (window, cell_key, n_pages) with watermarked late-data
+    handling.  Works identically on a batch frame (for oracle checks) —
+    window() and the geocode/cell-key Columns are engine-agnostic."""
+    pts = with_cell_key(geocode_pages(pages_stream), level=level)
+    return (
+        pts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "cell_key")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "cell_key",
+            "n_pages",
+        )
+    )
+
+
+def run_stream_to_memory(spark, pages_dir: str, level: int = 6, query_name: str = "cells_stream"):
+    """Drive the streaming query synchronously over the fixture parquet
+    (memory sink; processAllAvailable) — the local smoke harness."""
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.isfile(pages_dir):
+        # streaming file source requires a directory
+        d = tempfile.mkdtemp(prefix="geostream_")
+        shutil.copy(pages_dir, os.path.join(d, os.path.basename(pages_dir)))
+        pages_dir = d
+    static = spark.read.parquet(pages_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    agg = stream_cell_counts(stream, level=level)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,120 @@
+"""Text-analysis operators for a large-scale training-data pipeline
+(BASELINE north-rule extensions: the payload is web text).
+
+Everything here is pure Column expressions (JVM-side, whole-stage codegen);
+each operator has a matching DuckDB oracle in ``__spark_entry__.oracle_sql``
+built from the same formulas, so results are bit-reproducible (integer
+counts and IEEE-754 divisions only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: stopword markers per language for the n-gram language-ID heuristic;
+#: counts are of ' word ' occurrences (space-delimited, case-sensitive —
+#: deterministic and cheap)
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "des"),
+    "pt": ("os", "uma", "das"),
+}
+#: tie-break priority (first wins on >=)
+LANG_ORDER = ("en", "de", "es", "fr", "pt")
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count.  ``split(trim(x), '\\s+')`` of an empty
+    string yields [''] (count 1) in both Spark and DuckDB — documented
+    edge; callers filter empty docs first if that matters."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def occurrence_count_col(text: Column, needle: str) -> Column:
+    """Number of occurrences of ``needle`` via length arithmetic —
+    identical integer semantics in any engine."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    s = F.lit(0).cast("long")
+    for w in LANG_MARKERS[lang]:
+        s = s + occurrence_count_col(padded, f" {w} ")
+    return s
+
+
+def predicted_lang_col(text: Column) -> Column:
+    """argmax over language scores, ties resolved by LANG_ORDER priority
+    (>= comparison against the running max of later languages)."""
+    scores = {lang: lang_score_col(text, lang) for lang in LANG_ORDER}
+    expr = F.lit(LANG_ORDER[-1])
+    # build from the back: lang wins if its score >= max of all later ones
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = [scores[o] for o in LANG_ORDER[LANG_ORDER.index(lang) + 1 :]]
+        mx = later[0]
+        for o in later[1:]:
+            mx = F.greatest(mx, o)
+        expr = F.when(scores[lang] >= mx, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals: length, token count, alpha ratio,
+    punctuation ratio, mean token length.  All ratios are single IEEE
+    divisions of integer counts (bit-reproducible)."""
+    n_chars = F.length(text)
+    n_tokens = token_count_col(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    n_spaces = F.length(F.regexp_replace(text, r"[^ ]", ""))
+    # try_divide: empty docs yield NULL ratios instead of failing under ANSI
+    # (oracle mirror: x / nullif(y, 0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "alpha_ratio": F.try_divide(n_alpha.cast("double"), n_chars.cast("double")),
+        "punct_ratio": F.try_divide(n_punct.cast("double"), n_chars.cast("double")),
+        "mean_token_len": F.try_divide(
+            (n_chars - n_spaces).cast("double"), n_tokens.cast("double")
+        ),
+    }
+
+
+def fingerprint_cols(text: Column) -> dict[str, Column]:
+    """Content fingerprint: md5 hex (identical across engines) + length."""
+    return {"fp_md5": F.md5(text.cast("binary")), "fp_len": F.length(text).cast("long")}
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles, JVM-side:
+    transform(sequence(1, n-k+1), i -> array_join(slice(tokens, i, k)))."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop text-analysis projection over a documents table."""
+    t = F.col(text_col)
+    q = quality_cols(t)
+    fp = fingerprint_cols(t)
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["alpha_ratio"].alias("alpha_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["mean_token_len"].alias("mean_token_len"),
+        predicted_lang_col(t).alias("pred_lang"),
+        fp["fp_md5"].alias("fp_md5"),
+    )

@@ -1,0 +1,236 @@
+"""Text analysis / dedup / similarity / multimodal / streaming / checkpoint
+operators over the driver testdata and fixtures."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+TESTDATA = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{TESTDATA}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{TESTDATA}/embeddings.parquet").cache()
+
+
+class TestTextAnalysis:
+    def test_analyze_shapes(self, docs):
+        from libosmtools_spark.text.analysis import analyze_documents
+
+        out = analyze_documents(docs).toPandas()
+        assert len(out) == docs.count()
+        assert (out["n_tokens"] >= 1).all()
+        assert out["alpha_ratio"].between(0, 1).all()
+        assert out["fp_md5"].str.len().eq(32).all()
+        assert out["pred_lang"].isin(["en", "de", "es", "fr", "pt"]).all()
+
+    def test_md5_matches_duckdb(self, docs):
+        import duckdb
+
+        from libosmtools_spark.text.analysis import analyze_documents
+
+        got = analyze_documents(docs).select("doc_id", "fp_md5").toPandas()
+        want = duckdb.sql(
+            f"select doc_id, md5(text) as fp_md5 from read_parquet('{TESTDATA}/documents.parquet')"
+        ).df()
+        m = got.merge(want, on="doc_id", suffixes=("_s", "_d"))
+        assert (m["fp_md5_s"] == m["fp_md5_d"]).all()
+
+    def test_token_count_matches_duckdb(self, docs):
+        import duckdb
+
+        from libosmtools_spark.text.analysis import token_count_col
+
+        got = docs.select("doc_id", token_count_col(F.col("text")).alias("n")).toPandas()
+        want = duckdb.sql(
+            f"select doc_id, len(string_split_regex(trim(text), '\\s+')) as n "
+            f"from read_parquet('{TESTDATA}/documents.parquet')"
+        ).df()
+        m = got.merge(want, on="doc_id", suffixes=("_s", "_d"))
+        assert (m["n_s"] == m["n_d"]).all()
+
+
+class TestDedup:
+    def test_exact_dedup_groups(self, docs, spark):
+        from libosmtools_spark.dedup.dedup import exact_dedup
+
+        out = exact_dedup(docs).toPandas()
+        assert len(out) == docs.count()
+        assert (out["canonical_id"] <= out["doc_id"]).all()
+        # brute check on pandas
+        pdf = docs.select("doc_id", "text").toPandas()
+        want = pdf.groupby("text")["doc_id"].transform("min")
+        m = out.set_index("doc_id").loc[pdf["doc_id"], "canonical_id"].to_numpy()
+        assert (m == want.to_numpy()).all()
+
+    def test_jaccard_pairs_vs_brute(self, docs, spark):
+        from libosmtools_spark.dedup.dedup import ngram_jaccard_pairs
+
+        small = docs.limit(80).cache()
+        got = ngram_jaccard_pairs(small, threshold=0.2).toPandas()
+        # brute force in pandas
+        pdf = small.select("doc_id", "text").toPandas()
+        sh = {
+            r.doc_id: set(
+                " ".join(toks[i : i + 3])
+                for toks in [r.text.strip().split()]
+                for i in range(max(len(toks) - 2, 0))
+            )
+            for r in pdf.itertuples()
+        }
+        want = set()
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                u = len(sh[a] | sh[b])
+                if u and len(sh[a] & sh[b]) / u >= 0.2:
+                    want.add((a, b))
+        assert set(zip(got["a"], got["b"])) == want
+
+    def test_minhash_lsh_recall(self, spark):
+        from libosmtools_spark.dedup.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+        # corpus with planted near-duplicates
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = []
+        for i in range(40):
+            rows.append((i, base if i % 4 == 0 else f"{base} variant {i} " + "x " * i))
+        docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        exact = ngram_jaccard_pairs(docs, threshold=0.8).toPandas()
+        lsh = minhash_lsh_pairs(docs, threshold=0.8, num_perm=64, bands=32).toPandas()
+        want = set(zip(exact["a"], exact["b"]))
+        got = set(zip(lsh["a"], lsh["b"]))
+        assert want, "planted duplicates must exist"
+        # high-band LSH at j>=0.8 should reach full recall on identical docs
+        assert got == want
+
+    def test_simhash_near_for_near_texts(self, spark):
+        from libosmtools_spark.dedup.dedup import simhash_fingerprints
+
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally different words entirely unrelated content here now"),
+        ]
+        docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        out = simhash_fingerprints(docs).toPandas().set_index("doc_id")["simhash"]
+        assert out[0] == out[1]
+        ham = bin(np.uint64(out[0]) ^ np.uint64(out[2])).count("1")
+        assert ham > 10
+
+
+class TestANN:
+    def test_brute_topk_matches_numpy(self, embeddings):
+        from libosmtools_spark.sim.ann import cosine_topk_brute
+
+        got = cosine_topk_brute(embeddings, k=5).toPandas()
+        pdf = embeddings.toPandas()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        for q in ids[:20]:
+            qi = np.where(ids == q)[0][0]
+            s = S[qi].copy()
+            s[qi] = -np.inf
+            order = np.lexsort((ids, -s))[:5]
+            want = ids[order].tolist()
+            g = got[got.vec_id == q].sort_values("rank")["neighbor_id"].tolist()
+            assert g == want, q
+
+    def test_lsh_recall_reasonable(self, embeddings):
+        from libosmtools_spark.sim.ann import cosine_topk_brute, lsh_topk
+
+        brute = cosine_topk_brute(embeddings, k=5).toPandas()
+        approx = lsh_topk(embeddings, k=5, n_planes=4, n_tables=16).toPandas()
+        b = set(zip(brute["vec_id"], brute["neighbor_id"]))
+        a = set(zip(approx["vec_id"], approx["neighbor_id"]))
+        recall = len(a & b) / len(b)
+        assert recall > 0.6, recall  # 16 tables x 16 buckets over 500 vecs
+
+
+class TestMultimodal:
+    def test_feature_plumbing(self, spark, sf_smoke):
+        from libosmtools_spark.mm.multimodal import extract_features, pages_html_media
+
+        pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).limit(100)
+        media = pages_html_media(pages)
+        out = extract_features(media).toPandas()
+        assert len(out) == 100
+        assert out["ok"].all()
+        assert out["feat"].map(len).eq(8).all()
+        assert out["sha256"].str.len().eq(64).all()
+        # determinism
+        out2 = extract_features(media).toPandas()
+        m = out.sort_values("media_id").reset_index(drop=True)
+        m2 = out2.sort_values("media_id").reset_index(drop=True)
+        assert (m["sha256"] == m2["sha256"]).all()
+
+    def test_real_decoder_raises(self):
+        from libosmtools_spark.mm.multimodal import DecodeUnavailable, real_decode
+
+        with pytest.raises(DecodeUnavailable):
+            real_decode(b"xx", "image/png")
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, sf_smoke):
+        from libosmtools_spark.streaming.geostream import (
+            run_stream_to_memory,
+            stream_cell_counts,
+        )
+
+        pages_dir = os.path.join(sf_smoke, "pages.parquet")
+        got = run_stream_to_memory(spark, pages_dir, query_name="t_stream").toPandas()
+        batch = stream_cell_counts(spark.read.parquet(pages_dir)).toPandas()
+        g = got.sort_values(["window_start", "cell_key"]).reset_index(drop=True)
+        b = batch.sort_values(["window_start", "cell_key"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, b)
+
+
+class TestCheckpoint:
+    def test_stage_skip_and_rebuild(self, spark, sf_smoke, tmp_path):
+        from libosmtools_spark.run.checkpoint import CheckpointManager, input_fingerprint
+
+        cp = CheckpointManager(spark, str(tmp_path / "ckpt"))
+        fp = input_fingerprint(spark, os.path.join(sf_smoke, "pages.parquet"))
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).select("url")
+
+        a = cp.stage("urls", fp, build)
+        b = cp.stage("urls", fp, build)  # must skip
+        assert calls["n"] == 1
+        assert a.count() == b.count()
+        c = cp.stage("urls", "changed-fp", build)  # must rebuild
+        assert calls["n"] == 2
+        # manifest has 2 records for the stage
+        import json
+
+        with open(cp.manifest_path) as f:
+            recs = [json.loads(x) for x in f]
+        assert sum(1 for r in recs if r["stage"] == "urls") == 2
+
+    def test_partition_metrics(self, spark, sf_smoke, tmp_path):
+        from libosmtools_spark.run.checkpoint import CheckpointManager
+
+        cp = CheckpointManager(spark, str(tmp_path / "ckpt2"))
+        df = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet"))
+        pm = cp.partition_metrics(df).toPandas()
+        assert pm["n_rows"].sum() == df.count()
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
