@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from libosmtools_spark.geom.columns import cell_key_col
 from libosmtools_spark.geom.kernels import _LEVEL_SHIFT
-from libosmtools_spark.tiles.materialize import _neighbor_keys_udf
+from libosmtools_spark.tiles.materialize import neighbor_keys_col
 
 MAX_ROUNDS = 10_000  # reference round cap
 
@@ -41,11 +41,10 @@ def connected_components(cells: DataFrame, max_iter: int = 50) -> DataFrame:
     refined→unrefined map of the reference
     (/root/reference/src/OsmTriangulationRegionStore.cpp:589) is just the
     cell_id column retained alongside."""
-    neigh = _neighbor_keys_udf()
     base = cells.select("cell_key", "cell_id")
     # same-cell_id adjacency edges (both directions)
     edges = (
-        base.withColumn("n_key", F.explode(neigh(F.col("cell_key"))))
+        base.withColumn("n_key", F.explode(neighbor_keys_col(F.col("cell_key"))))
         .join(
             base.select(F.col("cell_key").alias("n_key"), F.col("cell_id").alias("n_cell_id")),
             "n_key",

@@ -83,6 +83,33 @@ def cell_bounds_cols(key: Column) -> tuple[Column, Column, Column, Column]:
     return min_lat, min_lat + size, min_lon, min_lon + size
 
 
+def ring_keys_col(key: Column, k: int) -> Column:
+    """Chebyshev-ring neighbor keys (incl. self) as an array Column — the
+    pure-JVM mirror of ``kernels.cell_ring``: lon wraps, lat clamps (out-of-
+    range rows dropped), deduplicated.  Keeps ring expansion inside
+    whole-stage codegen (no Python in the kNN hot path)."""
+    level = F.shiftright(key, _LEVEL_SHIFT)
+    iy = F.shiftright(key, _IY_SHIFT).bitwiseAND(F.lit((1 << (_LEVEL_SHIFT - _IY_SHIFT)) - 1).cast("long"))
+    ix = key.bitwiseAND(F.lit((1 << _IY_SHIFT) - 1).cast("long"))
+    nlat = F.pow(F.lit(2.0), level.cast("double")).cast("long")
+    nlon = nlat * F.lit(2).cast("long")
+    base = level.cast("long") * F.lit(1 << _LEVEL_SHIFT).cast("long")
+
+    offs = F.sequence(F.lit(-k), F.lit(k))
+    nested = F.transform(
+        offs,
+        lambda dy: F.transform(
+            offs,
+            lambda dx: F.when(
+                (iy + dy >= 0) & (iy + dy < nlat),
+                base + (iy + dy) * F.lit(1 << _IY_SHIFT).cast("long") + F.pmod(ix + dx, nlon),
+            ),
+        ),
+    )
+    flat = F.flatten(nested)
+    return F.array_distinct(F.filter(flat, lambda x: x.isNotNull()))
+
+
 def sq_euclid_deg_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """kNN ranking metric (see kernels.sq_euclid_deg for the rationale)."""
     dlat = lat1 - lat2

@@ -1,26 +1,24 @@
-"""Cell-ring-expansion kNN (north-rule operator; SURVEY.md §2.4).
+"""kNN operators (north-rule; SURVEY.md §2.4).
 
-Not present in the reference as a public op, but its machinery is: the cell
-dual graph (/root/reference/src/OsmTriangulationRegionStore.cpp:382-429)
-defines cell adjacency, and the grid makes ring expansion pure arithmetic.
+Two physical strategies behind one logical contract — for each query point
+the k nearest *other* points under the squared-euclidean-degree metric (see
+geom.kernels.sq_euclid_deg for why not haversine), ties broken by neighbor
+id ascending:
 
-Contract: for each query point, the k nearest *other* points under the
-squared-euclidean-degree metric (see geom.kernels.sq_euclid_deg for why not
-haversine: bit-reproducibility of the ranking across engines), ties broken
-by neighbor id ascending.
+- ``knn_brute``: the reference-index posture — when the point set is
+  dimension-scale (fits a broadcast), ship the whole (id, lat, lon) matrix
+  to every task and answer each Arrow batch with one vectorized numpy
+  distance computation.  Zero shuffles.
+- ``knn_ring``: the 100 TB path — iterative cell-ring-expansion join: each
+  round equi-joins unresolved queries against points on ring-r neighbor
+  cell keys (pure-JVM ring generation, geom.columns.ring_keys_col), a query
+  resolving when its k-th candidate distance beats the ring guarantee bound
+  ``(r · cell_size)²``; stragglers escalate to a doubled radius, the final
+  few fall back to a broadcast pass.
 
-Algorithm (distributed, no cross join):
-  round r = 1, 2, 4, ...: candidates = equi-join of unresolved query points
-  against points indexed by cell_key, where the join key is each query
-  point's ring-r neighbor cell set (exploded).  A query resolves when its
-  k-th best candidate distance is strictly below the ring's guarantee bound
-  ``(r * cell_size_deg)^2`` — no point outside the ring can beat it.
-  Unresolved queries escalate to a doubled radius; a final fallback pass
-  (rare: isolated points) goes global.
-
-Skew: hot cells (dense urban tiles) produce large candidate groups; the
-per-query top-k is a bounded-memory window aggregate, and AQE skew-join
-splits oversized shuffle partitions.
+``knn_join`` dispatches on an estimated count.  The adjacency being walked
+is the grid-native cell dual graph
+(/root/reference/src/OsmTriangulationRegionStore.cpp:382-429).
 """
 
 from __future__ import annotations
@@ -29,25 +27,48 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from libosmtools_spark.geom import kernels as K
-from libosmtools_spark.geom.columns import sq_euclid_deg_col
+from libosmtools_spark.geom.columns import ring_keys_col, sq_euclid_deg_col
 from libosmtools_spark.joins.spatial import with_cell_key
 
-
-def _ring_keys_udf(k: int):
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def ring_keys(keys: pd.Series) -> pd.Series:
-        # vectorized per distinct cell (points cluster into few cells)
-        uniq = keys.unique()
-        table = {int(c): K.cell_ring(int(c), k).tolist() for c in uniq}
-        return keys.map(lambda c: table[int(c)])
-
-    return ring_keys
+#: below this many points the broadcast-matrix strategy wins outright
+BRUTE_THRESHOLD = 200_000
 
 
-def knn_join(
+def knn_brute(points: DataFrame, id_col: str, k: int = 5, lat: str = "lat", lon: str = "lon") -> DataFrame:
+    """Broadcast the full point matrix; per Arrow batch one numpy distance
+    block + lexsort.  Exact, shuffle-free."""
+    spark = points.sparkSession
+    pdf = points.select(id_col, lat, lon).toPandas()
+    ids = pdf[id_col].to_numpy()
+    la = pdf[lat].to_numpy(dtype=np.float64)
+    lo = pdf[lon].to_numpy(dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids, la, lo))
+
+    id_type = dict(points.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, neighbor_id {id_type}, rank int"
+
+    def part(batches):
+        nids, nla, nlo = bc.value
+        for b in batches:
+            qids = b[id_col].to_numpy()
+            qla = b[lat].to_numpy(dtype=np.float64)
+            qlo = b[lon].to_numpy(dtype=np.float64)
+            d2 = (qla[:, None] - nla[None, :]) ** 2 + (qlo[:, None] - nlo[None, :]) ** 2
+            rows = {id_col: [], "neighbor_id": [], "rank": []}
+            for r in range(len(qids)):
+                s = d2[r].copy()
+                s[nids == qids[r]] = np.inf
+                order = np.lexsort((nids, s))[:k]
+                rows[id_col].extend([qids[r]] * len(order))
+                rows["neighbor_id"].extend(nids[order].tolist())
+                rows["rank"].extend(range(1, len(order) + 1))
+            yield pd.DataFrame(rows)
+
+    return points.select(id_col, lat, lon).mapInPandas(part, schema)
+
+
+def knn_ring(
     points: DataFrame,
     id_col: str,
     k: int = 5,
@@ -56,10 +77,7 @@ def knn_join(
     lon: str = "lon",
     max_rounds: int = 4,
 ) -> DataFrame:
-    """points(id, lat, lon, …) → (id, neighbor_id, rank) with rank 1..k.
-
-    Self-kNN: every point queries against the full point set minus itself.
-    """
+    """Distributed ring-expansion kNN (see module docstring)."""
     pts = with_cell_key(points.select(id_col, lat, lon), lat, lon, level).cache()
     data = pts.select(
         F.col(id_col).alias("n_id"),
@@ -74,11 +92,8 @@ def knn_join(
     radius = 1
 
     for _ in range(max_rounds):
-        ring_udf = _ring_keys_udf(radius)
         cand = (
-            unresolved.withColumn("ring", ring_udf(F.col("cell_key")))
-            .withColumn("n_key", F.explode("ring"))
-            .drop("ring")
+            unresolved.withColumn("n_key", F.explode(ring_keys_col(F.col("cell_key"), radius)))
             .join(data, "n_key")
             .filter(F.col(id_col) != F.col("n_id"))
             .withColumn(
@@ -88,7 +103,6 @@ def knn_join(
         w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("n_id").asc())
         topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
         bound = (radius * cell_size) ** 2
-        # resolved: has k candidates AND the k-th distance beats the ring bound
         kth = topk.groupBy(id_col).agg(F.max("rank").alias("nk"), F.max("d2").alias("dk"))
         done_ids = kth.filter((F.col("nk") == k) & (F.col("dk") < bound)).select(id_col)
         resolved_parts.append(
@@ -96,7 +110,7 @@ def knn_join(
                 id_col, F.col("n_id").alias("neighbor_id"), "rank"
             )
         )
-        unresolved = unresolved.join(done_ids, id_col, "left_anti")
+        unresolved = unresolved.join(done_ids, id_col, "left_anti").localCheckpoint()
         radius *= 2
         if unresolved.isEmpty():
             break
@@ -106,8 +120,8 @@ def knn_join(
         out = out.unionByName(p)
 
     if not unresolved.isEmpty():
-        # global fallback for stragglers (isolated points): the unresolved
-        # side is tiny, so broadcast IT against the full data set
+        # stragglers (isolated points) are few by construction: broadcast
+        # THEM against the distributed corpus — never collect the corpus
         cand = (
             F.broadcast(unresolved.select(id_col, lat, lon))
             .crossJoin(data.drop("n_key"))
@@ -124,6 +138,26 @@ def knn_join(
         )
         out = out.unionByName(fallback)
     return out
+
+
+def knn_join(
+    points: DataFrame,
+    id_col: str,
+    k: int = 5,
+    level: int = 6,
+    lat: str = "lat",
+    lon: str = "lon",
+    max_rounds: int = 4,
+    method: str = "auto",
+) -> DataFrame:
+    """points(id, lat, lon, …) → (id, neighbor_id, rank), rank 1..k.
+
+    method: 'auto' (count-based dispatch), 'brute', or 'ring'."""
+    if method == "auto":
+        method = "brute" if points.count() <= BRUTE_THRESHOLD else "ring"
+    if method == "brute":
+        return knn_brute(points, id_col, k, lat, lon)
+    return knn_ring(points, id_col, k, level, lat, lon, max_rounds)
 
 
 def knn_neighbor_lists(knn_rows: DataFrame, id_col: str) -> DataFrame:

@@ -73,11 +73,19 @@ class SpatialEngine:
         cells = self.cells(pages)
         return assign_point_cell_ids(pts, cells).select("url", "cell_key", "cell_id")
 
+    def flagship(self, pages: DataFrame) -> DataFrame:
+        """(url, cell_key, cell_id, region_ids) — geocode/join computed ONCE
+        and shared between the region-set and cell-assignment outputs."""
+        pts = self.page_points(pages).select("url", "lat", "lon", "cell_key").cache()
+        hits = spatial_join(pts, self.cell_index, self.rings_bcast, level=self.level)
+        pr = page_region_sets(hits.select("url", "region_id"), pts)
+        cells = build_cells_table(pts.select("cell_key"), self.cell_index, self.rings_bcast, self.level)
+        pc = assign_point_cell_ids(pts.select("url", "cell_key"), cells)
+        return pc.join(pr, "url").select("url", "cell_key", "cell_id", "region_ids")
+
 
 def run_flagship(spark: SparkSession, fixtures_dir: str, level: int = DEFAULT_LEVEL) -> DataFrame:
     """pages → (url, cell_key, cell_id, region_ids)."""
     pages = spark.read.parquet(os.path.join(fixtures_dir, "pages.parquet"))
     eng = SpatialEngine.from_fixtures(spark, fixtures_dir, level)
-    pr = eng.page_regions(pages)
-    pc = eng.page_cells(pages)
-    return pc.join(pr, "url").select("url", "cell_key", "cell_id", "region_ids")
+    return eng.flagship(pages)

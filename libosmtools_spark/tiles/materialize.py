@@ -76,14 +76,13 @@ def region_raster_footprint(cell_index: DataFrame) -> DataFrame:
     )
 
 
-def _neighbor_keys_udf():
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def neigh(keys: pd.Series) -> pd.Series:
-        uniq = keys.unique()
-        table = {int(c): [x for x in K.cell_ring(int(c), 1).tolist() if x != int(c)] for c in uniq}
-        return keys.map(lambda c: table[int(c)])
+def neighbor_keys_col(key):
+    """Ring-1 neighbor keys excluding self — pure JVM arithmetic
+    (geom.columns.ring_keys_col), no Python in the adjacency hot path."""
+    from libosmtools_spark.geom.columns import ring_keys_col
 
-    return neigh
+    ring = ring_keys_col(key, 1)
+    return F.filter(ring, lambda x: x != key)
 
 
 def cell_dual_graph(cells: DataFrame) -> DataFrame:
@@ -91,10 +90,9 @@ def cell_dual_graph(cells: DataFrame) -> DataFrame:
     pairs — T9's sorted distinct edge set
     (/root/reference/src/OsmTriangulationRegionStore.cpp:389-407).  Grid
     adjacency: ring-1 neighbor keys, restricted to cells present."""
-    neigh = _neighbor_keys_udf()
     base = cells.select("cell_key", "cell_id")
     nbrs = (
-        base.withColumn("n_key", F.explode(neigh(F.col("cell_key"))))
+        base.withColumn("n_key", F.explode(neighbor_keys_col(F.col("cell_key"))))
         .join(
             base.select(F.col("cell_key").alias("n_key"), F.col("cell_id").alias("n_cell_id")),
             "n_key",

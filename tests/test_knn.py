@@ -15,10 +15,11 @@ def pages_pts(spark, sf_smoke):
     return geocode_pages(pages).select("url", "lat", "lon").cache()
 
 
-def test_knn_matches_golden(spark, sf_smoke, pages_pts):
+@pytest.mark.parametrize("method", ["ring", "brute"])
+def test_knn_matches_golden(spark, sf_smoke, pages_pts, method):
     from libosmtools_spark.knn.ring import knn_join, knn_neighbor_lists
 
-    rows = knn_join(pages_pts, "url", k=5, level=6)
+    rows = knn_join(pages_pts, "url", k=5, level=6, method=method)
     got = knn_neighbor_lists(rows, "url").toPandas()
     want = spark.read.parquet(os.path.join(sf_smoke, "golden_knn.parquet")).toPandas()
     got["neighbor_ids"] = got["neighbor_ids"].map(tuple)
