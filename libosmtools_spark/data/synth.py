@@ -405,6 +405,36 @@ def osm_frames():
 # materialization
 # ---------------------------------------------------------------------------
 
+def scaling_region_spec(n_regions: int = 45, n_vertices: int = 800):
+    """High-vertex, heavily-overlapping star polygons for the scaling
+    benchmark — realistic admin-boundary complexity (planet polygons run to
+    thousands of vertices) stacked 15-deep over each point hotspot, so each
+    clustered query point ray-casts many large rings and the measurement is
+    compute-dominated like a planet workload.  Deterministic (seeded)."""
+    rng = np.random.default_rng(SEED + 1)
+    hotspots = [(48.2, 11.4), (17.5, 17.5), (-20.0, 50.0)]
+    centers = [
+        (h[0] + float(rng.uniform(-0.3, 0.3)), h[1] + float(rng.uniform(-0.3, 0.3)))
+        for i in range(n_regions)
+        for h in [hotspots[i % len(hotspots)]]
+    ]
+    specs = []
+    for rid, (clat, clon) in enumerate(centers[:n_regions]):
+        ang = np.linspace(0, 2 * np.pi, n_vertices, endpoint=False)
+        rad = 1.5 + 0.7 * np.sin(ang * 7 + rid) + rng.uniform(-0.1, 0.1, n_vertices)
+        ring = np.stack([clat + rad * np.sin(ang), clon + rad * np.cos(ang)], axis=1)
+        ring = K.snap(np.vstack([ring, ring[:1]]))
+        specs.append(
+            {
+                "region_id": rid,
+                "name": f"star{rid}",
+                "rings": [("outer", ring)],
+                "tags": {"name": f"star{rid}", "boundary": "administrative"},
+            }
+        )
+    return specs
+
+
 def fixtures_dir(sf: str, root: str | None = None) -> str:
     root = root or os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "fixtures")
     return os.path.join(root, f"sf{sf}")
@@ -448,6 +478,9 @@ def write_fixtures(sf: str, root: str | None = None) -> str:
     w(nodes, "nodes")
     w(ways, "ways", map_cols=("tags",))
     w(rels, "relations", map_cols=("tags",))
+
+    _, scaling_rings = regions_frames(scaling_region_spec())
+    w(scaling_rings, "scaling_region_rings")
     return out
 
 

@@ -18,6 +18,7 @@ from libosmtools_spark.joins.spatial import (
     geocode_pages,
     page_region_sets,
     spatial_join,
+    spatial_join_left,
     with_cell_key,
 )
 
@@ -74,14 +75,27 @@ class SpatialEngine:
         return assign_point_cell_ids(pts, cells).select("url", "cell_key", "cell_id")
 
     def flagship(self, pages: DataFrame) -> DataFrame:
-        """(url, cell_key, cell_id, region_ids) — geocode/join computed ONCE
-        and shared between the region-set and cell-assignment outputs."""
-        pts = self.page_points(pages).select("url", "lat", "lon", "cell_key").cache()
-        hits = spatial_join(pts, self.cell_index, self.rings_bcast, level=self.level)
-        pr = page_region_sets(hits.select("url", "region_id"), pts)
+        """(url, cell_key, cell_id, region_ids) — ONE wide pass:
+
+        left-join the broadcast cell index (every page survives; failed PIP
+        candidates become NULL), then a single groupBy(url) builds the
+        region set AND carries cell_key — no page×page join anywhere.  The
+        cells dictionary is dimension-scale and broadcast.  Total cost at
+        scale: one broadcast join + one shuffle on url."""
+        pts = self.page_points(pages).select("url", "lat", "lon", "cell_key")
+        hits = spatial_join_left(pts, self.cell_index, self.rings_bcast, level=self.level)
+        agg = hits.groupBy("url").agg(
+            F.first("cell_key").alias("cell_key"),
+            F.array_sort(F.collect_set("region_id")).alias("region_ids"),
+        )
         cells = build_cells_table(pts.select("cell_key"), self.cell_index, self.rings_bcast, self.level)
-        pc = assign_point_cell_ids(pts.select("url", "cell_key"), cells)
-        return pc.join(pr, "url").select("url", "cell_key", "cell_id", "region_ids")
+        out = agg.join(F.broadcast(cells.select("cell_key", "cell_id")), "cell_key", "left")
+        return out.select(
+            "url",
+            "cell_key",
+            F.coalesce("cell_id", F.lit(0)).alias("cell_id"),
+            "region_ids",
+        )
 
 
 def run_flagship(spark: SparkSession, fixtures_dir: str, level: int = DEFAULT_LEVEL) -> DataFrame:

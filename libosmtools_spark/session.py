@@ -35,7 +35,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # large Arrow batches amortize per-batch UDF overhead (region-group
+        # setup, chunk dispatch); measured 54s → 31s on the PIP stage vs 65536
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():

@@ -1,0 +1,116 @@
+"""Refinement criteria (T16-T19) and hop-BFS cell splitting (T6/T7/T23)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from libosmtools_spark.geom.kernels import _LEVEL_SHIFT
+
+
+class TestBFSKernels:
+    def grid_adj(self, w, h):
+        from libosmtools_spark.cells.hopsplit import _local_adjacency
+
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        return _local_adjacency(ys.ravel(), xs.ravel(), nlon=10_000), ys.ravel(), xs.ravel()
+
+    def test_bfs_distances_manhattan(self):
+        from libosmtools_spark.cells.hopsplit import _bfs
+
+        adj, ys, xs = self.grid_adj(5, 5)
+        d = _bfs(adj, 0)  # from (0,0)
+        assert (d == ys + xs).all()
+
+    def test_max_hop_pair_exact(self):
+        from libosmtools_spark.cells.hopsplit import max_hop_pair
+
+        adj, ys, xs = self.grid_adj(4, 3)
+        u, v, diam = max_hop_pair(adj)
+        assert diam == (3 - 1) + (4 - 1)
+
+    def test_max_hop_pair_approx_reasonable(self):
+        from libosmtools_spark.cells.hopsplit import max_hop_pair
+
+        adj, ys, xs = self.grid_adj(30, 30)
+        _, _, exact = max_hop_pair(adj, exact_cutoff=10_000)
+        _, _, approx = max_hop_pair(adj, exact_cutoff=1)
+        assert approx >= exact * 0.7  # double-sweep on a grid is near-exact
+
+    def test_multi_source_partition(self):
+        from libosmtools_spark.cells.hopsplit import _multi_source_bfs
+
+        adj, ys, xs = self.grid_adj(10, 1)  # a path graph
+        owner, dist = _multi_source_bfs(adj, [0, 9])
+        assert owner[0] == 0 and owner[9] == 1
+        assert (owner >= 0).all()
+        assert owner[4] == 0 and owner[5] == 1
+
+
+class TestHopSplit:
+    def test_splits_hot_cell(self, spark, sf_smoke):
+        from libosmtools_spark.cells.assign import assign_point_cell_ids
+        from libosmtools_spark.cells.hopsplit import split_oversized_cells_hopbfs
+        from libosmtools_spark.pipeline import SpatialEngine
+
+        eng = SpatialEngine.from_fixtures(spark, sf_smoke)
+        pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet"))
+        pts = eng.page_points(pages).select("url", "lat", "lon", "cell_key")
+        cells = eng.cells(pages)
+        pc = assign_point_cell_ids(pts, cells)
+        out = split_oversized_cells_hopbfs(pc, max_points=200, level=6).toPandas()
+        assert len(out) == pages.count()
+        sizes = out.groupby("refined_cell_id").size()
+        # the urban hotspot cell must have been split into >1 part
+        hot = out.groupby("cell_id").size()
+        for cid, n in hot.items():
+            parts = out.loc[out.cell_id == cid, "refined_cell_id"].nunique()
+            if n > 200:
+                assert parts > 1, f"cell {cid} ({n} points) not split"
+            else:
+                assert parts == 1
+
+    def test_deterministic(self, spark, sf_smoke):
+        from libosmtools_spark.cells.assign import assign_point_cell_ids
+        from libosmtools_spark.cells.hopsplit import split_oversized_cells_hopbfs
+        from libosmtools_spark.pipeline import SpatialEngine
+
+        eng = SpatialEngine.from_fixtures(spark, sf_smoke)
+        pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).limit(500)
+        pts = eng.page_points(pages).select("url", "lat", "lon", "cell_key")
+        cells = eng.cells(pages)
+        pc = assign_point_cell_ids(pts, cells)
+        a = split_oversized_cells_hopbfs(pc, max_points=100, level=6).toPandas()
+        b = split_oversized_cells_hopbfs(pc, max_points=100, level=6).toPandas()
+        a = a.sort_values("url").reset_index(drop=True)
+        b = b.sort_values("url").reset_index(drop=True)
+        assert (a["refined_cell_id"] == b["refined_cell_id"]).all()
+
+
+class TestCriteria:
+    def test_diag_refinement_reaches_target(self, spark):
+        from libosmtools_spark.cells.criteria import diag_criterion, refine_until_good
+        from libosmtools_spark.geom.kernels import cell_key
+
+        keys = [int(cell_key([48.0], [11.0], 4)[0]), int(cell_key([0.0], [0.0], 4)[0])]
+        cells = spark.createDataFrame([(k,) for k in keys], "cell_key long")
+        out = refine_until_good(cells, diag_criterion(200_000.0), max_level=12).toPandas()
+        levels = out["cell_key"].to_numpy() >> _LEVEL_SHIFT
+        assert levels.min() > 4  # everything got subdivided at least once
+        from libosmtools_spark.geom.kernels import cell_diag_m
+
+        assert cell_diag_m(out["cell_key"].to_numpy()).max() <= 200_000.0
+
+    def test_count_criterion_column(self, spark):
+        from libosmtools_spark.cells.criteria import count_criterion
+
+        df = spark.createDataFrame([(1, 10), (2, 300)], "cell_key long, n_points long")
+        bad = df.filter(count_criterion(100)(df)).toPandas()
+        assert list(bad["cell_key"]) == [2]
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))
