@@ -73,13 +73,15 @@ def load_pages(spark, fixtures: str, inflate: int = 1):
 
 
 def run_flagship_materialized(eng, pages) -> int:
-    """Execute the flagship query and force FULL materialization.
+    """Execute the flagship query (zero-shuffle broadcast-store plan) and
+    force FULL materialization.
 
     NOT count(): Catalyst would prune the PIP/collect_set work entirely.
     A hash-sum over every output column defeats column pruning."""
     from pyspark.sql import functions as F
 
-    out = eng.flagship(pages)
+    eng.candidates_bcast  # force the broadcast index build
+    out = eng.flagship_map(pages)
     row = out.select(
         F.count("*").alias("n"),
         F.sum(

@@ -267,6 +267,55 @@ def point_in_ring(lats, lons, ring: np.ndarray):
     return out
 
 
+def ring_edges(ring: np.ndarray) -> np.ndarray:
+    """(m,2) closed ring → (m-1, 4) edge array [y1, x1, y2, x2]."""
+    return np.stack([ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1]], axis=1)
+
+
+def clip_edges_for_cell(edges: np.ndarray, min_lat, max_lat, min_lon) -> np.ndarray:
+    """Edges that can affect the ray-cast parity of ANY point inside the
+    cell [min_lat, max_lat] × [min_lon, …):
+
+    - an edge whose lat range misses the cell's lat band can never straddle
+      a point latitude inside it;
+    - an edge entirely WEST of the cell (both lons < min_lon) is never
+      crossed by the eastward ray.
+
+    This is the query-side counterpart of the definite/candidate split:
+    large admin rings (thousands of edges) shrink to the handful of edges
+    actually near the cell — the dominant PIP cost lever."""
+    ylo = np.minimum(edges[:, 0], edges[:, 2])
+    yhi = np.maximum(edges[:, 0], edges[:, 2])
+    keep = (yhi > min_lat) & (ylo <= max_lat)
+    west = np.maximum(edges[:, 1], edges[:, 3]) < min_lon
+    return edges[keep & ~west]
+
+
+def point_in_edges(lats, lons, edges: np.ndarray):
+    """Ray-cast parity against an explicit (k,4) edge set (same half-open
+    rule as point_in_ring).  Callers are responsible for the edge set being
+    parity-preserving for these points (see clip_edges_for_cell)."""
+    ys = np.asarray(lats, dtype=np.float64)
+    xs = np.asarray(lons, dtype=np.float64)
+    if edges.shape[0] == 0:
+        return np.zeros(ys.shape[0], dtype=bool)
+    y1 = edges[:, 0][None, :]
+    x1 = edges[:, 1][None, :]
+    y2 = edges[:, 2][None, :]
+    x2 = edges[:, 3][None, :]
+    n = ys.shape[0]
+    m = edges.shape[0]
+    chunk = max(64, _PIP_CHUNK_ELEMS // m)
+    if n <= chunk:
+        return _point_in_ring_block(ys[:, None], xs[:, None], y1, x1, y2, x2)
+    out = np.empty(n, dtype=bool)
+    for i in range(0, n, chunk):
+        out[i : i + chunk] = _point_in_ring_block(
+            ys[i : i + chunk, None], xs[i : i + chunk, None], y1, x1, y2, x2
+        )
+    return out
+
+
 def point_in_rings(lats, lons, outer_rings, inner_rings=()):
     """PIP against a polygon-with-holes: inside any outer AND not inside any
     inner (/root/reference/include/osmtools/OsmGridRegionTree.h:34-63 —

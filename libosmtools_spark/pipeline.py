@@ -37,6 +37,19 @@ class SpatialEngine:
         # dimension-scale: collect rings once, broadcast to every executor
         self.rings_bcast = spark.sparkContext.broadcast(rings_lookup(region_rings.toPandas()))
         self.cell_index = build_cell_index(region_rings, level).cache()
+        self._candidates_bcast = None
+
+    @property
+    def candidates_bcast(self):
+        """cell_key → (region ids, full flags) lookup, broadcast lazily —
+        powers the zero-shuffle map join."""
+        if self._candidates_bcast is None:
+            from libosmtools_spark.joins.mapjoin import build_cell_candidates
+
+            self._candidates_bcast = self.spark.sparkContext.broadcast(
+                build_cell_candidates(self.cell_index.toPandas(), self.rings_bcast.value)
+            )
+        return self._candidates_bcast
 
     @classmethod
     def from_fixtures(cls, spark: SparkSession, fixtures_dir: str, level: int = DEFAULT_LEVEL):
@@ -73,6 +86,25 @@ class SpatialEngine:
         pts = self.page_points(pages).select("url", "cell_key")
         cells = self.cells(pages)
         return assign_point_cell_ids(pts, cells).select("url", "cell_key", "cell_id")
+
+    def flagship_map(self, pages: DataFrame) -> DataFrame:
+        """(url, cell_key, cell_id, region_ids) with ZERO shuffles — the
+        broadcast-store plan (joins/mapjoin.py): one mapInPandas resolves
+        each page's region set; the cells dictionary joins broadcast.  The
+        plan of record for 10^12 pages with a broadcastable polygon store
+        (the reference's own in-memory posture)."""
+        from libosmtools_spark.joins.mapjoin import map_spatial_join
+
+        pts = self.page_points(pages).select("url", "lat", "lon", "cell_key")
+        res = map_spatial_join(pts, self.candidates_bcast, self.rings_bcast)
+        cells = build_cells_table(pts.select("cell_key"), self.cell_index, self.rings_bcast, self.level)
+        out = res.join(F.broadcast(cells.select("cell_key", "cell_id")), "cell_key", "left")
+        return out.select(
+            "url",
+            "cell_key",
+            F.coalesce("cell_id", F.lit(0)).alias("cell_id"),
+            "region_ids",
+        )
 
     def flagship(self, pages: DataFrame) -> DataFrame:
         """(url, cell_key, cell_id, region_ids) — ONE wide pass:

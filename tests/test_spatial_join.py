@@ -133,6 +133,27 @@ class TestInvariants:
             assert list(ids) == sorted(set(ids))
 
 
+class TestFlagshipMapParity:
+    def test_map_join_equals_shuffle_flagship(self, engine, pages):
+        """Zero-shuffle flagship_map ≡ shuffle flagship, row for row."""
+        a = engine.flagship(pages).toPandas()
+        b = engine.flagship_map(pages).toPandas()
+        for df in (a, b):
+            df["region_ids"] = df["region_ids"].map(lambda x: tuple(int(i) for i in x))
+        a = a.sort_values("url").reset_index(drop=True)
+        b = b.sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_map_join_matches_golden(self, engine, pages, sf_smoke, spark):
+        got = engine.flagship_map(pages).select("url", "region_ids").toPandas()
+        want = spark.read.parquet(os.path.join(sf_smoke, "golden_page_regions.parquet")).toPandas()
+        got["region_ids"] = got["region_ids"].map(lambda a: tuple(int(x) for x in a))
+        want["region_ids"] = want["region_ids"].map(lambda a: tuple(int(x) for x in a))
+        g = _sorted_records(got, "url")
+        w = _sorted_records(want, "url")
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
 class TestRoundTrip:
     def test_write_read_back_identical(self, engine, pages, tmp_path, spark):
         out = engine.page_cells(pages)
