@@ -432,6 +432,54 @@ def covering_cells(outer_rings, inner_rings, level: int):
     return keys[overlap], full[overlap]
 
 
+def adaptive_covering_cells(outer_rings, inner_rings, base_level: int, max_level: int):
+    """Quadtree coverage: start at ``base_level``; FULL cells are kept as-is,
+    PARTIAL cells are recursively subdivided until ``max_level`` — the
+    reference's GridRegionTree recursion
+    (/root/reference/src/OsmGridRegionTree.cpp:133-140, refinement predicate
+    :13-30).  Index size is boundary-linear instead of area-quadratic.
+
+    Returns (keys int64[], full bool[]) with keys at MIXED levels; the
+    coverage cells partition the region (disjoint across levels), so a
+    point matches at most one coverage cell per region.
+    """
+    keys, full = covering_cells(outer_rings, inner_rings, base_level)
+    out_keys = [keys[full]]
+    out_full = [np.ones(int(full.sum()), dtype=bool)]
+    partial = keys[~full]
+
+    all_rings = list(outer_rings) + list(inner_rings)
+    seg_y1 = np.concatenate([r[:-1, 0] for r in all_rings])
+    seg_x1 = np.concatenate([r[:-1, 1] for r in all_rings])
+    seg_y2 = np.concatenate([r[1:, 0] for r in all_rings])
+    seg_x2 = np.concatenate([r[1:, 1] for r in all_rings])
+    keep = ~crosses_antimeridian(seg_x1, seg_x2)
+    seg_y1, seg_x1, seg_y2, seg_x2 = seg_y1[keep], seg_x1[keep], seg_y2[keep], seg_x2[keep]
+
+    level = base_level
+    while level < max_level and partial.size:
+        children = np.concatenate([cell_children(int(k)) for k in partial])
+        clat, clon = cell_center(children)
+        center_in = point_in_rings(clat, clon, outer_rings, inner_rings)
+        b = cell_bounds(children)
+        touched = np.zeros(children.shape, dtype=bool)
+        for i in range(children.size):
+            touched[i] = segment_intersects_rect(
+                seg_y1, seg_x1, seg_y2, seg_x2, b[0][i], b[1][i], b[2][i], b[3][i]
+            ).any()
+        overlap = center_in | touched
+        is_full = center_in & ~touched
+        out_keys.append(children[overlap & is_full])
+        out_full.append(np.ones(int((overlap & is_full).sum()), dtype=bool))
+        partial = children[overlap & ~is_full]
+        level += 1
+
+    if partial.size:  # max_level partial leaves stay candidates
+        out_keys.append(partial)
+        out_full.append(np.zeros(partial.size, dtype=bool))
+    return np.concatenate(out_keys), np.concatenate(out_full)
+
+
 def rect_ring(min_lat, min_lon, max_lat, max_lon) -> np.ndarray:
     """Closed 5-point CCW ring from a rect — GeoPolygon::fromRect
     (/root/reference/src/types.cpp:9-17)."""

