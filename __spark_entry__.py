@@ -134,15 +134,24 @@ def _engine(spark: SparkSession):
     return _ENGINE_CACHE[key]
 
 
+_CELLS_CACHE: dict = {}
+
+
 def _doc_cells_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cell_key, cell_id, region_ids) over the distinct cells the derived
-    points occupy — the real T4 dictionary operator."""
-    from libosmtools_spark.cells.assign import build_cells_table
-    from libosmtools_spark.joins.spatial import with_cell_key
+    points occupy — the real T4 dictionary operator.  Cached per
+    (session, sf_dir): several queries share it."""
+    key = (id(spark), sf_dir)
+    if key not in _CELLS_CACHE:
+        from libosmtools_spark.cells.assign import build_cells_table
+        from libosmtools_spark.joins.spatial import with_cell_key
 
-    _, rings_bcast, cell_index = _engine(spark)
-    pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
-    return build_cells_table(pts.select("cell_key"), cell_index, rings_bcast, LEVEL)
+        _, rings_bcast, cell_index = _engine(spark)
+        pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
+        _CELLS_CACHE[key] = build_cells_table(
+            pts.select("cell_key"), cell_index, rings_bcast, LEVEL
+        ).cache()
+    return _CELLS_CACHE[key]
 
 
 # cell-key arithmetic shared with the oracle (single definition)

@@ -85,6 +85,11 @@ def map_spatial_join(
     id_type = dict(points.dtypes)[id_col]
     schema = f"{id_col} {id_type}, cell_key long, mask array<long>"
 
+    # sorted candidate-cell key array for vectorized membership tests —
+    # at planet scale most cells (ocean) have no regions; looping over
+    # them in Python would dominate sparse batches
+    cand_keys_sorted = np.array(sorted(candidates_bcast.value.keys()), dtype=np.int64)
+
     def run(batches):
         cands = candidates_bcast.value
         rings = rings_bcast.value
@@ -97,7 +102,14 @@ def map_spatial_join(
             valid = ~pd.isna(keys)
             vkeys = keys[valid].astype(np.int64)
             vidx = np.flatnonzero(valid)
-            for key in np.unique(vkeys):
+            uniq = np.unique(vkeys)
+            # vectorized: keep only cells that actually have candidates
+            pos = np.searchsorted(cand_keys_sorted, uniq)
+            pos[pos >= len(cand_keys_sorted)] = len(cand_keys_sorted) - 1 if len(cand_keys_sorted) else 0
+            has_cand = (
+                cand_keys_sorted[pos] == uniq if len(cand_keys_sorted) else np.zeros(len(uniq), dtype=bool)
+            )
+            for key in uniq[has_cand]:
                 sel = vidx[vkeys == key]
                 cand = cands.get(int(key))
                 if cand is None:

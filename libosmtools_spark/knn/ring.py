@@ -40,9 +40,12 @@ def knn_brute(points: DataFrame, id_col: str, k: int = 5, lat: str = "lat", lon:
     block + lexsort.  Exact, shuffle-free."""
     spark = points.sparkSession
     pdf = points.select(id_col, lat, lon).toPandas()
-    ids = pdf[id_col].to_numpy()
-    la = pdf[lat].to_numpy(dtype=np.float64)
-    lo = pdf[lon].to_numpy(dtype=np.float64)
+    # corpus sorted by id: a STABLE argsort on distance then yields the
+    # (distance asc, id asc) order with no per-row lexsort
+    order0 = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+    ids = pdf[id_col].to_numpy()[order0]
+    la = pdf[lat].to_numpy(dtype=np.float64)[order0]
+    lo = pdf[lon].to_numpy(dtype=np.float64)[order0]
     bc = spark.sparkContext.broadcast((ids, la, lo))
 
     id_type = dict(points.dtypes)[id_col]
@@ -54,15 +57,18 @@ def knn_brute(points: DataFrame, id_col: str, k: int = 5, lat: str = "lat", lon:
             qids = b[id_col].to_numpy()
             qla = b[lat].to_numpy(dtype=np.float64)
             qlo = b[lon].to_numpy(dtype=np.float64)
-            d2 = (qla[:, None] - nla[None, :]) ** 2 + (qlo[:, None] - nlo[None, :]) ** 2
+            # chunk queries to bound the distance-matrix working set
+            chunk = max(16, 4_000_000 // max(len(nids), 1))
             rows = {id_col: [], "neighbor_id": [], "rank": []}
-            for r in range(len(qids)):
-                s = d2[r].copy()
-                s[nids == qids[r]] = np.inf
-                order = np.lexsort((nids, s))[:k]
-                rows[id_col].extend([qids[r]] * len(order))
-                rows["neighbor_id"].extend(nids[order].tolist())
-                rows["rank"].extend(range(1, len(order) + 1))
+            for i in range(0, len(qids), chunk):
+                qi = slice(i, i + chunk)
+                d2 = (qla[qi, None] - nla[None, :]) ** 2 + (qlo[qi, None] - nlo[None, :]) ** 2
+                d2[qids[qi, None] == nids[None, :]] = np.inf  # self-exclusion
+                top = np.argsort(d2, axis=1, kind="stable")[:, :k]
+                m = top.shape[0]
+                rows[id_col].extend(np.repeat(qids[qi], k).tolist())
+                rows["neighbor_id"].extend(nids[top].ravel().tolist())
+                rows["rank"].extend(np.tile(np.arange(1, k + 1), m).tolist())
             yield pd.DataFrame(rows)
 
     return points.select(id_col, lat, lon).mapInPandas(part, schema)
