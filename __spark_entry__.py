@@ -305,6 +305,37 @@ def q_tile_counts(spark, sf_dir):
     )
 
 
+def q_region_footprint(spark, sf_dir):
+    """Per-region raster footprint stats over the rect regions (G7/T22
+    analog with an exact SQL mirror)."""
+    from libosmtools_spark.tiles.materialize import region_raster_footprint, vector_to_raster
+
+    rings_df, _, _ = _engine(spark)
+    rect_ids = sorted(set(RECTS) | set(HOLED))
+    cov = vector_to_raster(rings_df.filter(F.col("region_id").isin(rect_ids)), LEVEL)
+    return region_raster_footprint(cov).select(
+        "region_id", "n_cells", F.col("n_full").cast("long").alias("n_full")
+    )
+
+
+def q_top_cells(spark, sf_dir):
+    """Top-10 cells by document count — window-rank demo (dense_rank over
+    counts, deterministic tie-break by cell_key)."""
+    from libosmtools_spark.joins.spatial import with_cell_key
+
+    counts = (
+        with_cell_key(_points(spark, sf_dir), level=LEVEL)
+        .groupBy("cell_key")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.asc("cell_key"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("cell_key", "n_docs", "rank")
+    )
+
+
 def q_cell_dual_graph(spark, sf_dir):
     from libosmtools_spark.tiles.materialize import cell_dual_graph
 
@@ -498,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_to_vector": q_raster_to_vector,
         "vector_to_raster": q_vector_to_raster,
         "tile_counts": q_tile_counts,
+        "region_footprint": q_region_footprint,
+        "top_cells": q_top_cells,
         "cell_dual_graph": q_cell_dual_graph,
         "connected_components": q_connected_components,
         # text / dedup / similarity / multimodal
@@ -618,6 +651,21 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
         """,
         "vector_to_raster": v2r_sql,
+        "region_footprint": f"""
+            WITH cov AS ({v2r_sql})
+            SELECT region_id, count(*) AS n_cells,
+                   CAST(sum(CASE WHEN coverage = 'full' THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+            FROM cov GROUP BY region_id
+        """,
+        "top_cells": f"""
+            WITH counts AS (
+              SELECT {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key, count(*) AS n_docs
+              FROM documents GROUP BY 1
+            )
+            SELECT cell_key, n_docs,
+                   row_number() OVER (ORDER BY n_docs DESC, cell_key ASC) AS rank
+            FROM counts QUALIFY rank <= 10
+        """,
         "tile_counts": f"""
             SELECT {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key, count(*) AS n_docs
             FROM documents GROUP BY 1
