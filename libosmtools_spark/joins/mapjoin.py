@@ -102,29 +102,38 @@ def map_spatial_join(
             valid = ~pd.isna(keys)
             vkeys = keys[valid].astype(np.int64)
             vidx = np.flatnonzero(valid)
-            uniq = np.unique(vkeys)
+            # sort the batch by cell key ONCE; each cell is then a
+            # contiguous slice (no per-cell O(n) boolean scans)
+            order = np.argsort(vkeys, kind="stable")
+            skeys = vkeys[order]
+            sidx = vidx[order]
+            uniq, starts = np.unique(skeys, return_index=True)
+            ends = np.append(starts[1:], len(skeys))
             # vectorized: keep only cells that actually have candidates
-            pos = np.searchsorted(cand_keys_sorted, uniq)
-            pos[pos >= len(cand_keys_sorted)] = len(cand_keys_sorted) - 1 if len(cand_keys_sorted) else 0
-            has_cand = (
-                cand_keys_sorted[pos] == uniq if len(cand_keys_sorted) else np.zeros(len(uniq), dtype=bool)
-            )
-            for key in uniq[has_cand]:
-                sel = vidx[vkeys == key]
-                cand = cands.get(int(key))
+            if len(cand_keys_sorted):
+                pos = np.searchsorted(cand_keys_sorted, uniq)
+                pos[pos >= len(cand_keys_sorted)] = len(cand_keys_sorted) - 1
+                has_cand = cand_keys_sorted[pos] == uniq
+            else:
+                has_cand = np.zeros(len(uniq), dtype=bool)
+            for u in np.flatnonzero(has_cand):
+                sel = sidx[starts[u] : ends[u]]
+                cand = cands.get(int(uniq[u]))
                 if cand is None:
                     continue
                 rids, full, clipped = cand
+                la_sel = la[sel]  # copy once per cell, not per region
+                lo_sel = lo[sel]
                 for i, (rid, is_full) in enumerate(zip(rids, full)):
                     word, bit = divmod(int(rid), 63)
                     if is_full:
                         masks[sel, word] |= np.int64(1) << np.int64(bit)
                         continue
                     if clipped[i] is not None:
-                        hit = K.point_in_edges(la[sel], lo[sel], clipped[i])
+                        hit = K.point_in_edges(la_sel, lo_sel, clipped[i])
                     else:
                         outers, inners = rings[int(rid)]
-                        hit = K.point_in_rings(la[sel], lo[sel], outers, inners)
+                        hit = K.point_in_rings(la_sel, lo_sel, outers, inners)
                     masks[sel[hit], word] |= np.int64(1) << np.int64(bit)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "cell_key": keys, "mask": list(masks)}
