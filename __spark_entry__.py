@@ -17,6 +17,7 @@ ray-cast semantics exactly.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 import numpy as np
@@ -24,6 +25,33 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:  # the driver may import this module from any CWD
+    sys.path.insert(0, REPO)
+
+_SHIPPED: set = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers (the spark-submit
+    --py-files posture of the north rule): driver-side sys.path does NOT
+    propagate to workers, so a driver running from a foreign CWD would hit
+    ModuleNotFoundError inside every pandas UDF without this."""
+    if id(spark) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "libosmtools_spark_pyfiles.zip")
+    if not os.path.exists(zpath):
+        pkg = os.path.join(REPO, "libosmtools_spark")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        z.write(full, os.path.relpath(full, REPO))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED.add(id(spark))
 
 LEVEL = 6
 CELL = 180.0 / (1 << LEVEL)  # 2.8125°
@@ -205,9 +233,7 @@ cells_final AS (
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on the repo's sf0.001 fixtures: geocode pages →
     cell-key join → PIP refine → (url, cell_key, cell_id, region_ids)."""
-    import sys
-
-    sys.path.insert(0, REPO)
+    _ensure_shipped(spark)
     from libosmtools_spark.data.synth import ensure_fixtures
     from libosmtools_spark.pipeline import run_flagship
 
@@ -517,8 +543,16 @@ def q_flagship_page_cells(spark, sf_dir):
     return out.select("url", "cell_key", "cell_id")
 
 
+def _wrap(fn):
+    def run(spark, sf_dir):
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    raw = {
         # spatial core (G4/G6/T4/T9/T13 + north-rule kNN / raster↔vector)
         "pip_region_rows": q_pip_region_rows,
         "pip_region_sets": q_pip_region_sets,
@@ -553,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_regions": q_extract_regions,
         "flagship_page_cells": q_flagship_page_cells,
     }
+    return {name: _wrap(fn) for name, fn in raw.items()}
 
 
 # ===========================================================================
