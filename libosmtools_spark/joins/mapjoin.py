@@ -97,10 +97,17 @@ def map_spatial_join(
             n = len(pdf)
             la = pdf[lat].to_numpy(dtype=np.float64)
             lo = pdf[lon].to_numpy(dtype=np.float64)
-            keys = pdf["cell_key"].to_numpy()
+            # cell_key is NULL-free by construction (NULL → -1 sentinel
+            # JVM-side below): a single NULL would make pandas deliver the
+            # Arrow column as float64, and level-6 keys (~2.2e17) exceed
+            # float64's 53-bit exact-integer range — every key in the batch
+            # would silently round and miss the candidate lookup.  The
+            # dtype-forcing to_numpy raises loudly if a float column ever
+            # sneaks through again.
+            keys = pdf["cell_key"].to_numpy(dtype=np.int64)
             masks = np.zeros((n, n_words), dtype=np.int64)
-            valid = ~pd.isna(keys)
-            vkeys = keys[valid].astype(np.int64)
+            valid = keys >= 0
+            vkeys = keys[valid]
             vidx = np.flatnonzero(valid)
             # sort the batch by cell key ONCE; each cell is then a
             # contiguous slice (no per-cell O(n) boolean scans)
@@ -139,11 +146,17 @@ def map_spatial_join(
                 {id_col: pdf[id_col], "cell_key": keys, "mask": list(masks)}
             )
 
-    out = points.select(id_col, lat, lon, "cell_key").mapInPandas(run, schema)
+    # NULL cell_key (geocode miss) → -1 sentinel so the Arrow column stays
+    # int64 end-to-end (see the dtype note inside run); restored below.
+    pts = points.select(
+        id_col, lat, lon, F.coalesce(F.col("cell_key"), F.lit(-1).cast("long")).alias("cell_key")
+    )
+    out = pts.mapInPandas(run, schema)
     # decode: for word w and bit b, region id = w*63 + b
     decode = F.expr(
         "filter(flatten(transform(mask, (m, w) -> "
         "transform(sequence(0, 62), b -> CASE WHEN (m >> b) & 1 = 1 THEN w * 63 + b END)"
         ")), x -> x IS NOT NULL)"
     ).cast("array<int>")
-    return out.select(id_col, "cell_key", decode.alias("region_ids"))
+    restore_key = F.when(F.col("cell_key") >= 0, F.col("cell_key"))
+    return out.select(id_col, restore_key.alias("cell_key"), decode.alias("region_ids"))

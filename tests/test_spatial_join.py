@@ -144,6 +144,27 @@ class TestFlagshipMapParity:
         b = b.sort_values("url").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
+    def test_map_join_null_cellkey_shares_batch(self, engine, pages, spark):
+        """Regression: a geocode-less page (NULL cell_key) in the SAME Arrow
+        batch as valid pages must not corrupt the batch.  Before the -1
+        sentinel fix, one NULL made pandas deliver cell_key as float64;
+        level-6 keys exceed float64's 53-bit integer range, so every key in
+        the batch rounded and the whole batch lost its region sets."""
+        no_geo = spark.createDataFrame(
+            [("page://no-geocode", None, None, "no coordinates in this text", None)],
+            pages.schema,
+        )
+        mixed = pages.unionByName(no_geo).coalesce(1)  # ONE partition → one batch
+        got = engine.flagship_map(mixed).toPandas().set_index("url")
+        want = engine.flagship(mixed).toPandas().set_index("url")
+        assert len(got) == len(want)
+        for url in want.index:
+            assert list(got.loc[url, "region_ids"]) == list(want.loc[url, "region_ids"]), url
+            g_key, w_key = got.loc[url, "cell_key"], want.loc[url, "cell_key"]
+            assert (pd.isna(g_key) and pd.isna(w_key)) or g_key == w_key, url
+        assert list(got.loc["page://no-geocode", "region_ids"]) == []
+        assert pd.isna(got.loc["page://no-geocode", "cell_key"])
+
     def test_map_join_matches_golden(self, engine, pages, sf_smoke, spark):
         got = engine.flagship_map(pages).select("url", "region_ids").toPandas()
         want = spark.read.parquet(os.path.join(sf_smoke, "golden_page_regions.parquet")).toPandas()
