@@ -355,7 +355,9 @@ def osm_frames():
         }
     )
 
-    # --- rel 202: unclosable outer (gap) → allOk=false path, relation dropped
+    # --- rel 202: unclosable outer (gap) → ZERO closed outer rings result,
+    #     so the relation is dropped (reference emits iff outerWays.size()
+    #     after stitching, /root/reference/src/AreaExtractor.cpp:324-327)
     add_nodes([50, 51, 52, 53], [(30, 30), (30, 31), (31, 31), (31, 30)])
     ways.append({"way_id": 307, "refs": [50, 51], "tags": {}})
     ways.append({"way_id": 308, "refs": [52, 53], "tags": {}})  # no shared endpoint
@@ -392,6 +394,43 @@ def osm_frames():
             "rel_id": 204,
             "members": [{"type": "way", "ref": 306, "role": "outer"}],
             "tags": {"type": "route"},
+        }
+    )
+
+    # --- rel 205: partial-result path — one closable outer + one unclosable
+    #     leftover: the closed ring is KEPT, the leftover discarded
+    #     (closedPolysFromWays keeps resultWays on allOk=false,
+    #     /root/reference/src/AreaExtractor.cpp:59-65, :320-327)
+    add_nodes([70, 71, 72, 73], [(50, 50), (50, 51), (51, 51), (51, 50)])
+    add_nodes([74, 75], [(52, 52), (52, 53)])
+    ways.append({"way_id": 311, "refs": [70, 71, 72, 73, 70], "tags": {}})
+    ways.append({"way_id": 312, "refs": [74, 75], "tags": {}})  # unclosable stub
+    rels.append(
+        {
+            "rel_id": 205,
+            "members": [
+                {"type": "way", "ref": 311, "role": "outer"},
+                {"type": "way", "ref": 312, "role": "outer"},
+            ],
+            "tags": {"type": "multipolygon", "natural": "wood"},
+        }
+    )
+
+    # --- rel 206: member way touching a MISSING node is skipped; the
+    #     relation still assembles from its remaining ways (unavailable way
+    #     only clears allWaysAvailable — log-only,
+    #     /root/reference/src/AreaExtractor.cpp:296-327)
+    add_nodes([80, 81, 82, 83], [(55, 55), (55, 56), (56, 56), (56, 55)])
+    ways.append({"way_id": 313, "refs": [80, 81, 82, 83, 80], "tags": {}})
+    ways.append({"way_id": 314, "refs": [80, 999998, 81], "tags": {}})  # missing node
+    rels.append(
+        {
+            "rel_id": 206,
+            "members": [
+                {"type": "way", "ref": 313, "role": "outer"},
+                {"type": "way", "ref": 314, "role": "outer"},
+            ],
+            "tags": {"type": "multipolygon", "landuse": "farmland"},
         }
     )
 

@@ -5,13 +5,16 @@
   explode + self-join — fully relational, SQL-oracle-able.
 - MinHash + LSH: shingle → 64-bit minhash signature → banded bucket join —
   the scale path (candidate generation is linear in docs, not quadratic);
-  candidates are verified with exact Jaccard so the output contract equals
-  the exact operator's above the threshold (modulo LSH recall, bounded by
-  the band parameters).
-- SimHash: 64-bit near-dup fingerprint with Hamming-bucket join.
+  candidates are verified with exact Jaccard computed PER CANDIDATE so the
+  output contract equals the exact operator's above the threshold (modulo
+  LSH recall, bounded by the band parameters).
+- SimHash: 60-bit near-dup fingerprint (pure JVM Columns) with a
+  Hamming-bucket pair join whose recall is exactly 1 for
+  max_hamming < n_bands (pigeonhole) — SQL-oracle-able end to end.
 
-Hash functions are implemented in vectorized numpy inside Arrow batches —
-deterministic across runs and machines (fixed seeds, uint64 arithmetic).
+Minhash permutations are vectorized numpy inside Arrow batches —
+deterministic across runs and machines (fixed seeds, uint64 arithmetic);
+simhash is md5-based so Spark and DuckDB compute identical fingerprints.
 """
 
 from __future__ import annotations
@@ -55,23 +58,31 @@ def ngram_jaccard_pairs(
     k: int = 3,
 ) -> DataFrame:
     """(a, b, jaccard) for unordered pairs with shingle-set Jaccard ≥
-    threshold; jaccard = |∩| / |∪| (single integer division, reproducible)."""
+    threshold; jaccard = |∩| / |∪| (single integer division, reproducible).
+
+    Size-bound prefilter: jaccard(a,b) ≤ min(|a|,|b|) / max(|a|,|b|), so
+    pairs failing ``min ≥ t·max`` are dropped INSIDE the shingle self-join
+    (before the pair shuffle/groupBy) without changing the output — the
+    standard length filter of prefix-filtering similarity joins."""
     sh = shingle_rows(docs, id_col, text_col, k).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    a = sh.join(sizes, id_col).select(
+        F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = sh.join(sizes, id_col).select(
+        F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    size_ok = F.least("n_a", "n_b").cast("double") >= F.lit(threshold) * F.greatest(
+        "n_a", "n_b"
+    ).cast("double")
     inter = (
         a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        .filter((F.col("a") < F.col("b")) & size_ok)
+        .groupBy("a", "b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    na = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(na, "a")
-        .join(nb, "b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
@@ -129,17 +140,20 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     k: int = 3,
 ) -> DataFrame:
-    """LSH candidate pairs verified by exact Jaccard ≥ threshold.
+    """LSH candidate pairs verified by exact Jaccard ≥ threshold —
+    CANDIDATE-ONLY verification: the exact check joins the (linear-size)
+    candidate pair list back to the per-doc shingle sets and computes
+    |∩|/|∪| per candidate.  The full quadratic shingle self-join is never
+    built — total cost is O(docs) candidate generation + O(candidates ×
+    avg shingles) verification, which is the whole point of LSH.
 
     bands×rows = num_perm; with 16 bands of 4 rows the match probability at
-    j=0.5 is 1-(1-0.5^4)^16 ≈ 0.64 per band set — tune per corpus.  The
-    banded bucket join is linear; only candidates pay the exact check."""
+    j=0.5 is 1-(1-0.5^4)^16 ≈ 0.64 per band set — tune per corpus."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signature_udf(num_perm)
-    with_sig = docs.select(
-        F.col(id_col), shingles_col(F.col(text_col), k).alias("sh")
-    ).withColumn("sig", sig(F.col("sh")))
+    base = docs.select(F.col(id_col), shingles_col(F.col(text_col), k).alias("sh"))
+    with_sig = base.withColumn("sig", sig(F.col("sh")))
 
     band_cols = [
         F.struct(
@@ -147,6 +161,7 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
+    # id-only rows through the bucket shuffle (no payload duplication)
     banded = with_sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").cast("string").alias("key")
     )
@@ -157,37 +172,123 @@ def minhash_lsh_pairs(
         .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, threshold, id_col, text_col, k)
-    return cand.join(exact, ["a", "b"], "inner").select("a", "b", "jaccard")
+
+    # exact Jaccard for the CANDIDATES only: explode a's shingles against
+    # the candidate list, semi-match them into b's shingle set — two hash
+    # joins at candidate scale, never a corpus self-join
+    sh = shingle_rows(docs, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col(id_col).alias("a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        cand.join(sha, "a")
+        .join(shb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
-# SimHash
+# SimHash (60-bit, pure JVM Columns — whole-stage codegen, no Python)
 # ---------------------------------------------------------------------------
 
-def simhash_udf():
-    @F.pandas_udf(T.LongType())
-    def sim(shingles: pd.Series) -> pd.Series:
-        out = np.zeros(len(shingles), dtype=np.int64)
-        for i, arr in enumerate(shingles):
-            if arr is None or len(arr) == 0:
-                continue
-            hv = _hash_shingles(np.asarray(arr, dtype=object))
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            val = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                val |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(val.astype(np.int64))
-        return pd.Series(out)
-
-    return sim
+SIMHASH_BITS = 60  # 15 hex chars of md5 — exactly representable in int64
 
 
-def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    sim = simhash_udf()
-    return docs.select(
-        F.col(id_col), sim(shingles_col(F.col(text_col), 3)).alias("simhash")
+def _shingle_hash60_col(shingle) -> "F.Column":
+    """60-bit shingle hash = first 15 hex chars of md5, engine-portable:
+    Spark ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+    ``('0x'||substr(md5(x),1,15))::BIGINT`` — the cross-engine contract that
+    makes the simhash operators exactly SQL-oracle-able."""
+    return F.conv(F.substring(F.md5(F.encode(shingle, "UTF-8")), 1, 15), 16, 10).cast("long")
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over 60-bit shingle hashes.
+
+    Entirely relational: explode shingles → hash → 60 conditional-sum
+    aggregates → fingerprint assembly.  Docs with no shingles get 0."""
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("shingle")
+    ).withColumn("h", _shingle_hash60_col(F.col("shingle")))
+    votes = sh.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1).cast("long")) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    fingerprints = votes.select(F.col(id_col), fp.alias("simhash"))
+    return docs.select(id_col).join(fingerprints, id_col, "left").select(
+        F.col(id_col), F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """(a, b, hamming) for unordered pairs with Hamming distance ≤
+    ``max_hamming`` — the near-dup join the fingerprints exist for.
+
+    Bit-band bucketing: the 60-bit fingerprint splits into ``n_bands``
+    contiguous bands; pairs within Hamming ≤ n_bands-1 MUST agree on at
+    least one band (pigeonhole), so with the default 4 bands / distance 3
+    recall is exactly 1 and the output equals the brute-force O(n²) join.
+    Candidate generation is a linear banded bucket join (ids only through
+    the shuffle); verification is one popcount per candidate."""
+    assert max_hamming < n_bands, "pigeonhole recall guarantee needs max_hamming < n_bands"
+    assert SIMHASH_BITS % n_bands == 0
+    width = SIMHASH_BITS // n_bands
+    mask = F.lit((1 << width) - 1).cast("long")
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col(sim_col), b * width).bitwiseAND(mask).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = fingerprints.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .distinct()
+    )
+    fa = fingerprints.select(F.col(id_col).alias("a"), F.col(sim_col).alias("ha"))
+    fb = fingerprints.select(F.col(id_col).alias("b"), F.col(sim_col).alias("hb"))
+    return (
+        cand.join(fa, "a")
+        .join(fb, "b")
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
     )

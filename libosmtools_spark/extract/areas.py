@@ -216,9 +216,12 @@ def extract_relation_polygons(
     """Relation phase (4 reference scans → one DAG): S6 member collection →
     S7 way-ref gather → S4 node gather → S9/S10 stitch + assemble.
 
-    Relations with any unclosable ring set are dropped entirely (the
-    reference's allOk=false aborts the relation,
-    /root/reference/src/AreaExtractor.cpp:73-90)."""
+    Partial-result semantics, matching the reference exactly
+    (/root/reference/src/AreaExtractor.cpp:296-327): a member way that is
+    unavailable (here: touches a missing node) is SKIPPED, not fatal; ring
+    stitching keeps every successfully closed ring and discards only the
+    unclosable leftovers (closedPolysFromWays, :59-65); the relation is
+    emitted iff at least one closed outer ring results."""
     rels = relations.filter(relation_tag_filter(extraction_types)).select(
         "rel_id", "tags", F.explode("members").alias("m")
     )
@@ -236,9 +239,12 @@ def extract_relation_polygons(
         .join(nodes, "node_id", "left")
     )
 
-    # drop relations touching a missing node (same reject semantics as ways)
-    bad_rels = way_pts.filter(F.col("lat").isNull()).select("rel_id").distinct()
-    way_pts = way_pts.join(bad_rels, "rel_id", "left_anti")
+    # skip member WAYS touching a missing node — the relation itself
+    # proceeds with its remaining ways (reference: an unavailable way only
+    # clears allWaysAvailable, used for logging; the relation is still
+    # assembled, /root/reference/src/AreaExtractor.cpp:296-327)
+    bad_ways = way_pts.filter(F.col("lat").isNull()).select("rel_id", "way_id").distinct()
+    way_pts = way_pts.join(bad_ways, ["rel_id", "way_id"], "left_anti")
 
     grouped = way_pts.groupBy("rel_id", "way_id", "ring_role").agg(
         F.first("tags").alias("tags"),
@@ -250,7 +256,6 @@ def extract_relation_polygons(
         tags = pdf["tags"].iloc[0]
         name = tags.get("name") if isinstance(tags, dict) else None
         out_rows = []
-        ok = True
         rings_by_role = {}
         for role in ("outer", "inner"):
             ways_pts = [
@@ -260,10 +265,12 @@ def extract_relation_polygons(
             if not ways_pts:
                 rings_by_role[role] = []
                 continue
-            rings, role_ok = stitch_rings(ways_pts)
-            ok = ok and role_ok
+            # partial-result path: keep the closed rings, drop only the
+            # unclosable leftovers (all_ok is log-only in the reference,
+            # /root/reference/src/AreaExtractor.cpp:320-327)
+            rings, _role_ok = stitch_rings(ways_pts)
             rings_by_role[role] = rings
-        if not ok or not rings_by_role["outer"]:
+        if not rings_by_role["outer"]:
             return pd.DataFrame(
                 columns=["source", "orig_id", "name", "tags", "ring_id", "ring_role", "points"]
             )

@@ -14,10 +14,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def top_hot_keys(df: DataFrame, key: str, top_k: int = 16) -> list:
-    """The top-k hottest keys by count — the salting candidates.  Runs as
-    one aggregation; at production scale use a sample."""
-    rows = df.groupBy(key).count().orderBy(F.desc("count")).limit(top_k).collect()
+def top_hot_keys(
+    df: DataFrame, key: str, top_k: int = 16, sample_fraction: float | None = 0.01,
+    sample_threshold: int = 1_000_000,
+) -> list:
+    """The top-k hottest keys by count — the salting candidates.
+
+    Hot keys are a frequency question, so a uniform sample answers it: when
+    the input exceeds ``sample_threshold`` rows, count over a
+    ``sample_fraction`` sample (seeded — deterministic) instead of the full
+    table; a key hot enough to need salting is by definition heavily
+    represented in any 1% sample.  Pass ``sample_fraction=None`` to force
+    the exact full-table count."""
+    src = df
+    if sample_fraction is not None and df.count() > sample_threshold:
+        src = df.sample(fraction=sample_fraction, seed=13)
+    rows = src.groupBy(key).count().orderBy(F.desc("count"), F.asc(key)).limit(top_k).collect()
     return [r[key] for r in rows]
 
 

@@ -16,13 +16,32 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from libosmtools_spark.geom.kernels import _IY_SHIFT
+from libosmtools_spark.geom.kernels import _IY_SHIFT, _LEVEL_SHIFT
 
 
 def cell_prefix_col(key_col: str = "cell_key", prefix_bits: int = 8):
-    """Coarse spatial partition value: the top bits of (iy, ix) — adjacent
-    cells share prefixes, so range queries prune partitions."""
-    return F.shiftright(F.col(key_col), _IY_SHIFT + 19).cast("int").alias("cell_prefix")
+    """Coarse spatial partition value: the interleaved top ``prefix_bits``
+    of (iy, ix), level-relative — adjacent cells share prefixes, so range
+    scans prune partitions.  2^prefix_bits distinct partitions at most.
+
+    Level-relative matters: iy < 2^level and ix < 2^(level+1), so the top
+    bits must be taken as iy >> (level-by) / ix >> (level+1-bx), not at a
+    fixed absolute position (a fixed shift collapses every level-6 key to
+    one constant — zero pruning)."""
+    key = F.col(key_col)
+    level = F.shiftright(key, _LEVEL_SHIFT).cast("double")
+    iy = F.shiftright(key, _IY_SHIFT).bitwiseAND(
+        F.lit((1 << (_LEVEL_SHIFT - _IY_SHIFT)) - 1).cast("long")
+    ).cast("double")
+    ix = key.bitwiseAND(F.lit((1 << _IY_SHIFT) - 1).cast("long")).cast("double")
+    by = prefix_bits // 2
+    bx = prefix_bits - by
+    # column-valued shift via pow (values < 2^28 — exact in doubles)
+    yq = F.floor(iy / F.pow(F.lit(2.0), F.greatest(level - by, F.lit(0.0))))
+    xq = F.floor(ix / F.pow(F.lit(2.0), F.greatest(level + 1 - bx, F.lit(0.0))))
+    return (yq.cast("long") * F.lit(1 << bx).cast("long") + xq.cast("long")).cast(
+        "int"
+    ).alias("cell_prefix")
 
 
 def iceberg_available(spark: SparkSession) -> bool:

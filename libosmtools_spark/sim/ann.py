@@ -1,11 +1,18 @@
 """Similarity search over embedding columns (training-data extension).
 
-- ``cosine_topk_brute``: exact top-k cosine neighbors — the correctness
-  baseline.  Dot products are computed in one numpy matmul per Arrow batch
-  against a broadcast matrix (no per-row Python).
-- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path: neighbors
-  are only searched within matching sign-buckets (plus multi-probe),
-  turning the quadratic scan into bucket-local scans.
+- ``ann_topk``: the entry point — count-gated auto-dispatch (the same
+  pattern as knn/ring.py's knn_join): broadcastable corpora take the
+  one-matmul brute path; larger corpora take the distributed
+  block-nested-loop exact path.  No unguarded driver collect anywhere.
+- ``cosine_topk_brute``: exact top-k cosine neighbors against a broadcast
+  corpus matrix — one numpy matmul per Arrow batch (no per-row Python).
+- ``cosine_topk_blocked``: distributed exact top-k — (query-block ×
+  corpus-block) cogroups, partial top-k per pair, one global window merge.
+  Per-task memory is |corpus|/Bc + |queries|/Bq vectors; shuffle volume is
+  the honest O(n·B) of exact all-pairs search, spread over the cluster.
+- ``lsh_topk``: random-hyperplane LSH bucketing — the approximate scale
+  path: the bucket self-join carries (id, bucket) rows ONLY; full vectors
+  rejoin exactly once for scoring.
 """
 
 from __future__ import annotations
@@ -15,6 +22,35 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: corpora up to this many rows broadcast whole (same posture as the
+#: region store / knn_join's brute threshold — a dimension-scale index)
+BRUTE_MAX_ROWS = 200_000
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+    ]
+)
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    brute_max_rows: int = BRUTE_MAX_ROWS,
+) -> DataFrame:
+    """Exact cosine top-k with automatic physical-path dispatch: corpora
+    that fit a broadcast take the matmul path; anything larger runs the
+    distributed blocked path.  Results are identical (same cosine formula,
+    same desc-cosine/asc-id tie rule)."""
+    n = embeddings.count()
+    if n <= brute_max_rows:
+        return cosine_topk_brute(embeddings, k, id_col, vec_col, _count_checked=True)
+    return cosine_topk_blocked(embeddings, k, id_col=id_col, vec_col=vec_col)
 
 
 def _collect_matrix(embeddings: DataFrame, id_col: str, vec_col: str):
@@ -31,23 +67,25 @@ def cosine_topk_brute(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = BRUTE_MAX_ROWS,
+    _count_checked: bool = False,
 ) -> DataFrame:
     """(id, neighbor_id, rank): exact top-k by cosine, ties by neighbor id.
 
-    The corpus matrix is broadcast (dimension-scale index assumption —
+    The corpus matrix is broadcast (dimension-scale index assumption — the
     same posture as the region store); each Arrow batch of queries does ONE
-    matmul.  For corpus sizes beyond broadcast, use lsh_topk."""
+    matmul.  GUARDED: refuses corpora beyond ``max_rows`` — use ann_topk
+    (auto-dispatch) or cosine_topk_blocked for fact-table-scale corpora."""
     spark = embeddings.sparkSession
+    if not _count_checked:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_topk_brute: corpus has {n} rows > max_rows={max_rows}; "
+                "use ann_topk (auto-dispatch) or cosine_topk_blocked"
+            )
     ids, M, norms = _collect_matrix(embeddings, id_col, vec_col)
     bc = spark.sparkContext.broadcast((ids, M / norms[:, None]))
-
-    out_schema = T.StructType(
-        [
-            T.StructField("qid", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("rank", T.IntegerType()),
-        ]
-    )
 
     def part(it):
         nids, Mn = bc.value
@@ -70,26 +108,142 @@ def cosine_topk_brute(
 
     return (
         embeddings.select(id_col, vec_col)
-        .mapInPandas(part, out_schema)
+        .mapInPandas(part, _TOPK_SCHEMA)
         .withColumnRenamed("qid", id_col)
     )
 
 
-def hyperplane_buckets_udf(dim: int, n_planes: int, n_tables: int, seed: int = 7):
+def cosine_topk_blocked(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_query_blocks: int = 8,
+    n_corpus_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed EXACT top-k cosine: block-nested-loop self-join.
+
+    Queries hash into Bq blocks, corpus into Bc blocks; every (qb, cb)
+    pair cogroups on one task, computes its partial top-k with one matmul
+    (identical arithmetic to the brute path, so results merge exactly),
+    and a single window rank merges the Bc partials per query.  Nothing is
+    ever collected to the driver; per-task memory is bounded by the block
+    sizes, tunable independently of corpus size."""
+    Bq, Bc = n_query_blocks, n_corpus_blocks
+    q = (
+        embeddings.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.pmod(F.xxhash64(id_col), F.lit(Bq)).alias("qb"),
+        )
+        .withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(Bc - 1))))
+    )
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            F.pmod(F.xxhash64(id_col), F.lit(Bc)).alias("cb"),
+        )
+        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(Bq - 1))))
+    )
+
+    part_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def partial_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"qid": [], "neighbor_id": [], "cosine": []}).astype(
+                {"qid": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        Q = np.stack(left["qv"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0] = 1.0
+        M = np.stack(right["nv"].to_numpy()).astype(np.float64)
+        mn = np.linalg.norm(M, axis=1)
+        mn[mn == 0] = 1.0
+        S = (Q / qn[:, None]) @ (M / mn[:, None]).T
+        qids = left["qid"].to_numpy()
+        nids = right["nid"].to_numpy()
+        rows = {"qid": [], "neighbor_id": [], "cosine": []}
+        kk = min(k, S.shape[1])
+        for r in range(S.shape[0]):
+            s = S[r].copy()
+            s[nids == qids[r]] = -np.inf
+            order = np.lexsort((nids, -s))[:kk]
+            keep = s[order] > -np.inf
+            order = order[keep]
+            rows["qid"].extend([qids[r]] * len(order))
+            rows["neighbor_id"].extend(nids[order].tolist())
+            rows["cosine"].extend(s[order].tolist())
+        return pd.DataFrame(rows)
+
+    partials = (
+        q.groupBy("qb", "cb")
+        .cogroup(c.groupBy("qb", "cb"))
+        .applyInPandas(lambda left, right: partial_topk(left, right), part_schema)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col), "neighbor_id", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+#: embedding quantization scale for the bucket decision (2^20): q = floor(v·2^20)
+#: is exact in IEEE-754 (power-of-two multiply), and every partial sum of
+#: h·q terms stays far below 2^53, so the SIGN of the dot product is
+#: bit-identical in ANY engine and ANY summation order — this is what makes
+#: the LSH bucketing exactly SQL-oracle-able.
+LSH_QUANT = 1048576.0
+#: integer hyperplane coordinate range (random ±127 projections are as good
+#: as gaussian for sign-LSH, and keep the arithmetic integer-exact)
+LSH_PLANE_RANGE = 127
+
+
+def lsh_hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic integer hyperplanes (n_tables, n_planes, dim) in
+    [-LSH_PLANE_RANGE, LSH_PLANE_RANGE] — shared by the Spark UDF and the
+    DuckDB oracle generator (single definition)."""
+    return (
+        np.random.default_rng(seed)
+        .integers(-LSH_PLANE_RANGE, LSH_PLANE_RANGE + 1, size=(n_tables, n_planes, dim))
+        .astype(np.float64)
+    )
+
+
+def hyperplane_buckets_udf(n_planes: int, n_tables: int, seed: int = 7):
     """vec → array of n_tables bucket ids (each from its own n_planes
     hyperplane set).  Multi-table LSH: a pair is a candidate if it collides
     in ANY table — recall improves geometrically with tables while each
-    table's buckets stay small (the skew/size trade)."""
-    rng = np.random.default_rng(seed)
-    H = rng.normal(size=(n_tables, n_planes, dim))
+    table's buckets stay small (the skew/size trade).
+
+    The hyperplanes are generated deterministically INSIDE the UDF from the
+    incoming vectors' dimension (cached per process) — no driver-side
+    ``.first()`` probe, no dim parameter to thread through.  Bucket bits
+    come from integer-exact quantized dot products (see LSH_QUANT)."""
+    _planes_cache: dict[int, np.ndarray] = {}
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vec: pd.Series) -> pd.Series:
         V = np.stack(vec.to_numpy()).astype(np.float64)  # (n, dim)
+        dim = V.shape[1]
+        H = _planes_cache.get(dim)
+        if H is None:
+            H = lsh_hyperplanes(n_tables, n_planes, dim, seed)
+            _planes_cache[dim] = H
+        Q = np.floor(V * LSH_QUANT)  # exact: power-of-two scale + floor
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         out = np.empty((len(V), n_tables), dtype=np.int64)
         for t in range(n_tables):
-            signs = (V @ H[t].T) > 0
+            signs = (Q @ H[t].T) > 0  # integer-valued doubles: exact sums
             # offset by table so buckets never collide across tables
             out[:, t] = (signs @ weights) + t * (1 << n_planes)
         return pd.Series(out.tolist())
@@ -107,22 +261,29 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates = pairs colliding in any of
     ``n_tables`` hyperplane-sign buckets, ranked by exact cosine.  Linear
-    candidate generation; recall measured against cosine_topk_brute in
-    tests."""
-    dim = len(embeddings.select(vec_col).first()[0])
-    bucket = hyperplane_buckets_udf(dim, n_planes, n_tables)
-    b = embeddings.select(id_col, vec_col).withColumn(
-        "bucket", F.explode(bucket(F.col(vec_col)))
+    candidate generation; recall measured against the exact operator in
+    tests.
+
+    Shuffle diet: the bucket self-join and the (qid, nid) dedup move
+    (id, bucket) rows ONLY — full embedding vectors rejoin exactly once,
+    after dedup, for scoring.  At 100 TB the duplicated-vector shuffle this
+    replaces would dwarf the id-only join."""
+    bucket = hyperplane_buckets_udf(n_planes, n_tables)
+    b = embeddings.select(
+        F.col(id_col), F.explode(bucket(F.col(vec_col))).alias("bucket")
     )
 
-    x = b.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket")
-    y = b.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket")
+    x = b.select(F.col(id_col).alias("qid"), "bucket")
+    y = b.select(F.col(id_col).alias("nid"), "bucket")
     cand = (
         x.join(y, "bucket")
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "qv", "nid", "nv")
+        .select("qid", "nid")
         .dropDuplicates(["qid", "nid"])
     )
+    qv = embeddings.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    nv = embeddings.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    cand = cand.join(qv, "qid").join(nv, "nid")
 
     @F.pandas_udf(T.DoubleType())
     def cos(a: pd.Series, c: pd.Series) -> pd.Series:

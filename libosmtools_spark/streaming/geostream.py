@@ -54,10 +54,19 @@ def stream_dedup_first_seen(pages_stream: DataFrame):
             for _ in batches:
                 pass
             return iter(())
+        # a url's rows within one micro-batch may span several Arrow
+        # chunks: track the min-warc_ts row ACROSS all chunks (chunk-order
+        # independence → deterministic output for duplicate-heavy batches)
         first = None
         for pdf in batches:
-            if len(pdf) and first is None:
-                first = pdf.sort_values("warc_ts").head(1)
+            if not len(pdf):
+                continue
+            cand = pdf.sort_values(["warc_ts", "lang"], kind="stable").head(1)
+            if first is None or (
+                tuple(cand[["warc_ts", "lang"]].iloc[0])
+                < tuple(first[["warc_ts", "lang"]].iloc[0])
+            ):
+                first = cand
         state.update((True,))
         return iter(() if first is None else (first[["url", "warc_ts", "lang"]],))
 

@@ -121,6 +121,31 @@ class TestRelationExtraction:
         roles = set(r203["ring_role"])
         assert roles == {"outer", "inner"}  # exclave→outer, enclave→inner
 
+    def test_partial_ring_set_keeps_closed_rings(self, osm):
+        """Reference partial-result path: closedPolysFromWays keeps the
+        successfully closed rings even when a leftover cannot close
+        (/root/reference/src/AreaExtractor.cpp:59-65, :320-327)."""
+        from libosmtools_spark.extract.areas import extract_relation_polygons
+
+        nodes, ways, rels = osm
+        out = extract_relation_polygons(nodes, ways, rels).toPandas()
+        r205 = out[out["orig_id"] == 205]
+        assert len(r205) == 1  # the closed ring; the stub is discarded
+        assert r205.iloc[0]["ring_role"] == "outer"
+        assert len(r205.iloc[0]["points"]) == 5
+
+    def test_missing_member_way_skipped_not_fatal(self, osm):
+        """A member way touching a missing node is skipped; the relation
+        still assembles (/root/reference/src/AreaExtractor.cpp:296-327)."""
+        from libosmtools_spark.extract.areas import extract_relation_polygons
+
+        nodes, ways, rels = osm
+        out = extract_relation_polygons(nodes, ways, rels).toPandas()
+        r206 = out[out["orig_id"] == 206]
+        assert len(r206) == 1
+        assert r206.iloc[0]["ring_role"] == "outer"
+        assert len(r206.iloc[0]["points"]) == 5
+
     def test_tag_filter_miss_dropped(self, osm):
         from libosmtools_spark.extract.areas import extract_relation_polygons
 

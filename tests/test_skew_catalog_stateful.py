@@ -56,6 +56,32 @@ class TestCatalogSink:
         parts = [p for p in os.listdir(tmp_path / "page_cells") if p.startswith("cell_prefix=")]
         assert parts
 
+    def test_prefix_spreads_level6_keys(self, spark):
+        """Regression: the prefix must be level-relative — a fixed absolute
+        shift mapped every level-6 key to one constant, collapsing the
+        'partitioned' table to a single partition (zero pruning)."""
+        import numpy as np
+
+        from libosmtools_spark.geom import kernels as K
+        from libosmtools_spark.run.catalog import cell_prefix_col
+
+        rng = np.random.default_rng(11)
+        lat = rng.uniform(-85, 85, 4000)
+        lon = rng.uniform(-180, 180, 4000)
+        keys = K.cell_key(lat, lon, 6)
+        df = spark.createDataFrame(pd.DataFrame({"cell_key": keys}))
+        got = df.select(cell_prefix_col(prefix_bits=8)).toPandas()["cell_prefix"]
+        n_distinct = got.nunique()
+        assert n_distinct > 32, n_distinct  # well-spread over ≤256 buckets
+        assert got.between(0, 255).all()
+        # nearby cells share a prefix (locality → range-scan pruning)
+        k1 = K.cell_key(np.array([10.0]), np.array([20.0]), 6)
+        k2 = K.cell_key(np.array([10.1]), np.array([20.1]), 6)
+        d2 = spark.createDataFrame(
+            pd.DataFrame({"cell_key": np.concatenate([k1, k2])})
+        ).select(cell_prefix_col(prefix_bits=8)).toPandas()["cell_prefix"]
+        assert d2.iloc[0] == d2.iloc[1]
+
 
 class TestStatefulDedupStream:
     def test_first_seen_dedup(self, spark, sf_smoke):
