@@ -162,6 +162,23 @@ def _engine(spark: SparkSession):
     return _ENGINE_CACHE[key]
 
 
+_CAND_CACHE: dict = {}
+
+
+def _candidates_bcast(spark: SparkSession):
+    """cell_key → (region ids, full flags, clipped edges) broadcast for the
+    zero-shuffle map join, built once per session from the oracle store."""
+    key = id(spark)
+    if key not in _CAND_CACHE:
+        from libosmtools_spark.joins.mapjoin import build_cell_candidates
+
+        _, rings_bcast, cell_index = _engine(spark)
+        _CAND_CACHE[key] = spark.sparkContext.broadcast(
+            build_cell_candidates(cell_index.toPandas(), rings_bcast.value)
+        )
+    return _CAND_CACHE[key]
+
+
 _CELLS_CACHE: dict = {}
 
 
@@ -198,6 +215,106 @@ CK_CLAT = f"({CK_MIN_LAT} + {CELL / 2})"
 CK_CLON = f"({CK_MIN_LON} + {CELL / 2})"
 
 POINTS_CTE = f"SELECT doc_id, {LAT_SQL} AS lat, {LON_SQL} AS lon FROM documents"
+
+
+def _jaccard_sql(threshold: float) -> str:
+    """Exact shingle-Jaccard pair SQL (DISTINCT word-3-gram shingles),
+    parameterized by threshold — shared by the jaccard_pairs and
+    minhash_lsh oracles (LSH recall on the fixture corpus is exactly 1 at
+    these band parameters, verified by the recall pytest, so the LSH output
+    contract IS the exact operator's)."""
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT i.a, i.b,
+               CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.a = sa.doc_id
+        JOIN sizes sb ON i.b = sb.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {threshold}
+    """
+
+
+def _simhash_fp_ctes() -> str:
+    """CTE chain computing the 60-bit simhash per document — the exact SQL
+    mirror of dedup.simhash_fingerprints (same md5-based shingle hash, same
+    per-bit majority votes; see dedup._shingle_hash60_col for the
+    cross-engine hash contract)."""
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(60)
+    )
+    assembly = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60))
+    return rf"""
+        toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        shm AS (
+          SELECT doc_id,
+            unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                  i -> array_to_string(t[i:i+2], ' '))) AS shingle
+          FROM toks
+        ),
+        hh AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM shm),
+        votes AS (SELECT doc_id, {vote_cols} FROM hh GROUP BY doc_id),
+        fp AS (
+          SELECT d.doc_id, CAST(coalesce({assembly}, 0) AS BIGINT) AS simhash
+          FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+        )
+    """
+
+
+def _ann_lsh_sql(k: int, n_planes: int = 4, n_tables: int = 16, dim: int = 64) -> str:
+    """Full SQL replica of sim.ann.lsh_topk: the SAME integer hyperplanes
+    (sim.ann.lsh_hyperplanes — single definition), integer-exact quantized
+    bucket bits (every partial sum an exact double), candidates from bucket
+    collisions, exact-cosine ranking.  Bit-identical buckets in any engine
+    and any summation order — see sim/ann.py LSH_QUANT."""
+    from libosmtools_spark.sim.ann import LSH_QUANT, lsh_hyperplanes
+
+    H = lsh_hyperplanes(n_tables, n_planes, dim).astype(int)
+    bucket_exprs = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = "[" + ",".join(str(v) for v in H[t, p]) + "]"
+            bits.append(
+                f"(CASE WHEN list_inner_product(q, {plane}) > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        bucket_exprs.append(f"({t * (1 << n_planes)} + " + " + ".join(bits) + ")")
+    buckets_list = "[" + ", ".join(bucket_exprs) + "]"
+    return f"""
+        WITH qi AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * {LSH_QUANT})) AS q
+          FROM embeddings
+        ),
+        buckets AS (SELECT vec_id, unnest({buckets_list}) AS bucket FROM qi),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS qid, y.vec_id AS nid
+          FROM buckets x JOIN buckets y USING (bucket)
+          WHERE x.vec_id <> y.vec_id
+        ),
+        scored AS (
+          SELECT c.qid, c.nid, list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.qid
+          JOIN embeddings eb ON eb.vec_id = c.nid
+        )
+        SELECT qid AS vec_id, nid AS neighbor_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """
 
 _PRED = _region_pred_sql("lat", "lon")
 PIP_ROWS_SQL = "\nUNION ALL\n".join(
@@ -373,7 +490,27 @@ def q_connected_components(spark, sf_dir):
 
     cells = _doc_cells_dict(spark, sf_dir)
     return connected_components(cells.select("cell_key", "cell_id")).select(
-        "cell_key", "cell_id", "refined_cell_id"
+        "cell_key", "cell_id", F.col("refined_cell_id").cast("long").alias("refined_cell_id")
+    )
+
+
+def q_flagship_map(spark, sf_dir):
+    """The ZERO-shuffle broadcast-store map join (joins/mapjoin.py) end to
+    end over the derived points — the flagship operator under an exact SQL
+    oracle (cell assignment + dictionary + per-point region sets)."""
+    from libosmtools_spark.joins.mapjoin import map_spatial_join
+    from libosmtools_spark.joins.spatial import with_cell_key
+
+    _, rings_bcast, _ = _engine(spark)
+    pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
+    res = map_spatial_join(pts, _candidates_bcast(spark), rings_bcast, id_col="doc_id")
+    cells = _doc_cells_dict(spark, sf_dir)
+    out = res.join(F.broadcast(cells.select("cell_key", "cell_id")), "cell_key", "left")
+    return out.select(
+        "doc_id",
+        "cell_key",
+        F.coalesce("cell_id", F.lit(0)).alias("cell_id"),
+        F.concat_ws(",", F.col("region_ids").cast("array<string>")).alias("region_set"),
     )
 
 
@@ -444,11 +581,21 @@ def q_simhash(spark, sf_dir):
     return simhash_fingerprints(docs).select("doc_id", "simhash")
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """Near-dup pairs by Hamming ≤ 3 over the 60-bit fingerprints — the
+    banded bucket join with guaranteed recall (pigeonhole: 4 bands)."""
+    from libosmtools_spark.dedup.dedup import simhash_fingerprints, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = simhash_fingerprints(docs)
+    return simhash_pairs(fps, max_hamming=3, n_bands=4).select("a", "b", "hamming")
+
+
 def q_ann_cosine(spark, sf_dir):
-    from libosmtools_spark.sim.ann import cosine_topk_brute
+    from libosmtools_spark.sim.ann import ann_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_topk_brute(emb, k=KNN_K).select("vec_id", "neighbor_id", "rank")
+    return ann_topk(emb, k=KNN_K).select("vec_id", "neighbor_id", "rank")
 
 
 def q_ann_lsh(spark, sf_dir):
@@ -567,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_cells": q_top_cells,
         "cell_dual_graph": q_cell_dual_graph,
         "connected_components": q_connected_components,
+        "flagship_map": q_flagship_map,
         # text / dedup / similarity / multimodal
         "token_count": q_token_count,
         "quality": q_quality,
@@ -576,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "mm_features": q_mm_features,
@@ -738,28 +887,98 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents GROUP BY text) g
               ON d.text = g.text
         """,
-        "jaccard_pairs": r"""
-            WITH toks AS (
-              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        "jaccard_pairs": _jaccard_sql(0.2),
+        # LSH recall is exactly 1 on this corpus at (num_perm=64, bands=32)
+        # — verified by the recall pytest AND by construction (near-dup
+        # jaccard ≥ 0.7 → per-pair miss probability (1-j²)^32 < 1e-9), so
+        # the verified-candidate output equals the exact operator's
+        "minhash_lsh": _jaccard_sql(0.5),
+        "simhash": f"WITH {_simhash_fp_ctes()} SELECT doc_id, simhash FROM fp",
+        "simhash_pairs": f"""
+            WITH {_simhash_fp_ctes()}
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "ann_lsh": _ann_lsh_sql(KNN_K),
+        "connected_components": f"""
+            WITH RECURSIVE {CELL_SETS_CTE},
+            g AS (SELECT cell_key, cell_id, {CK_IY} AS iy, {CK_IX} AS ix FROM cells_final),
+            e AS (
+              SELECT a.cell_key AS src, b.cell_key AS dst
+              FROM g a JOIN g b
+                ON abs(a.iy - b.iy) <= 1
+               AND (abs(a.ix - b.ix) <= 1 OR abs(a.ix - b.ix) = 127)
+               AND NOT (a.iy = b.iy AND a.ix = b.ix)
+               AND a.cell_id = b.cell_id
             ),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-                                      i -> array_to_string(t[i:i+2], ' '))) AS shingle
-              FROM toks
+            reach(cell_key, label) AS (
+              SELECT cell_key, cell_key FROM g
+              UNION
+              SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.cell_key
             ),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
-              FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-              GROUP BY x.doc_id, y.doc_id
+            lab AS (SELECT cell_key, min(label) AS label FROM reach GROUP BY cell_key),
+            comp AS (SELECT DISTINCT g.cell_id, l.label FROM g JOIN lab l USING (cell_key)),
+            ranked AS (
+              SELECT cell_id, label, dense_rank() OVER (ORDER BY cell_id, label) AS refined
+              FROM comp
             )
-            SELECT i.a, i.b,
-                   CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
-            FROM inter i
-            JOIN sizes sa ON i.a = sa.doc_id
-            JOIN sizes sb ON i.b = sb.doc_id
-            WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.2
+            SELECT g.cell_key, g.cell_id,
+                   CAST(CASE WHEN g.cell_id = 0 THEN 0 ELSE r.refined END AS BIGINT)
+                     AS refined_cell_id
+            FROM g JOIN lab l USING (cell_key)
+            JOIN ranked r ON g.cell_id = r.cell_id AND l.label = r.label
+        """,
+        "flagship_map": f"""
+            WITH {CELL_SETS_CTE},
+            pts AS (SELECT doc_id, {LAT_SQL} AS lat, {LON_SQL} AS lon,
+                           {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key
+                    FROM documents),
+            phits AS ({PIP_ROWS_SQL}),
+            sets AS (
+              SELECT p.doc_id,
+                     coalesce(string_agg(h.region_id::varchar, ',' ORDER BY h.region_id), '')
+                       AS region_set
+              FROM pts p LEFT JOIN phits h ON p.doc_id = h.doc_id
+              GROUP BY p.doc_id
+            )
+            SELECT p.doc_id, p.cell_key, cf.cell_id, s.region_set
+            FROM pts p
+            JOIN cells_final cf ON p.cell_key = cf.cell_key
+            JOIN sets s ON p.doc_id = s.doc_id
+        """,
+        # extraction goldens: outputs of the deterministic repo OSM fixtures
+        # (fixtures/sf*/nodes|ways|relations.parquet), independently derived
+        # — tiny by design, embedded as literals
+        "extract_ways": """
+            SELECT * FROM (VALUES
+              (CAST(100 AS BIGINT), 'outer', 5),
+              (CAST(105 AS BIGINT), 'outer', 5),
+              (CAST(106 AS BIGINT), 'outer', 5)
+            ) t(orig_id, ring_role, n_points)
+        """,
+        "extract_regions": """
+            SELECT * FROM (VALUES
+              (0, 'relation', CAST(200 AS BIGINT), 0, 'outer', 9),
+              (0, 'relation', CAST(200 AS BIGINT), 1, 'inner', 5),
+              (1, 'relation', CAST(201 AS BIGINT), 0, 'outer', 5),
+              (2, 'relation', CAST(203 AS BIGINT), 0, 'outer', 5),
+              (2, 'relation', CAST(203 AS BIGINT), 1, 'inner', 5),
+              (3, 'relation', CAST(205 AS BIGINT), 0, 'outer', 5),
+              (4, 'relation', CAST(206 AS BIGINT), 0, 'outer', 5),
+              (5, 'way', CAST(100 AS BIGINT), 0, 'outer', 5),
+              (6, 'way', CAST(105 AS BIGINT), 0, 'outer', 5),
+              (7, 'way', CAST(106 AS BIGINT), 0, 'outer', 5)
+            ) t(region_id, source, orig_id, ring_id, ring_role, n_points)
+        """,
+        # golden-file oracle: brute-force numpy PIP + independent cell/dict
+        # computation over the pages fixture (data/synth.golden_frames),
+        # materialized at fixture-generation time — the same golden the
+        # pytest parity suite asserts against
+        "flagship_page_cells": f"""
+            SELECT url, cell_key, cell_id
+            FROM read_parquet('{REPO}/fixtures/sf0.01/golden_page_cells.parquet')
         """,
         "mm_features": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
@@ -791,9 +1010,4 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, neighbor_id, rank FROM ranked WHERE rank <= {KNN_K}
         """,
-        # intentionally no oracle (rows-only): minhash_lsh, simhash, ann_lsh
-        # (hash-function-specific), connected_components (iterative graph
-        # algorithm), extract_ways / extract_regions / flagship_page_cells
-        # (run on repo fixtures, parity asserted against brute-force goldens
-        # in pytest instead)
     }
