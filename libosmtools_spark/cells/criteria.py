@@ -54,6 +54,83 @@ def count_criterion(max_count: int, count_col: str = "n_points") -> "callable":
     return is_bad
 
 
+def centroid_distance_criterion(max_dist_m: float) -> "callable":
+    """is_bad: max geodesic distance from the cell's center to its corners
+    exceeds ``max_dist_m`` — CentroidDistanceMeshCriteria
+    (/root/reference/include/osmtools/MeshCriteria.h:126-167: max centroid→
+    vertex geodesic distance > maxDist ⇒ IMPERATIVELY_BAD); the grid cell's
+    vertices are its 4 corners."""
+    from libosmtools_spark.geom.columns import cell_center_cols
+
+    def is_bad(cells: DataFrame) -> Column:
+        key = F.col("cell_key")
+        mn_lat, mx_lat, mn_lon, mx_lon = cell_bounds_cols(key)
+        clat, clon = cell_center_cols(key)
+        d = None
+        for a, o in ((mn_lat, mn_lon), (mn_lat, mx_lon), (mx_lat, mn_lon), (mx_lat, mx_lon)):
+            h = haversine_m_col(clat, clon, a, o)
+            d = h if d is None else F.greatest(d, h)
+        return d > F.lit(max_dist_m)
+
+    return is_bad
+
+
+def _cell_edge_lengths_m(key: Column) -> tuple[Column, Column, Column]:
+    """Geodesic lengths of a cell's distinct edges: bottom lat-parallel,
+    top lat-parallel (shorter toward the poles), and the meridian side
+    (both sides equal)."""
+    mn_lat, mx_lat, mn_lon, mx_lon = cell_bounds_cols(key)
+    e_bottom = haversine_m_col(mn_lat, mn_lon, mn_lat, mx_lon)
+    e_top = haversine_m_col(mx_lat, mn_lon, mx_lat, mx_lon)
+    e_side = haversine_m_col(mn_lat, mn_lon, mx_lat, mn_lon)
+    return e_bottom, e_top, e_side
+
+
+def edge_length_criterion(max_len_m: float) -> "callable":
+    """is_bad: longest cell edge exceeds ``max_len_m`` —
+    EdgeLengthMeshCriteria (/root/reference/include/osmtools/MeshCriteria.h:169-227:
+    max geodesic edge length > maxLength)."""
+
+    def is_bad(cells: DataFrame) -> Column:
+        e_bottom, e_top, e_side = _cell_edge_lengths_m(F.col("cell_key"))
+        return F.greatest(e_bottom, e_top, e_side) > F.lit(max_len_m)
+
+    return is_bad
+
+
+def edge_length_ratio_criterion(max_ratio: float, tiny_m: float = 1.0) -> "callable":
+    """is_bad: longest/shortest edge ratio exceeds ``max_ratio``, EXCEPT for
+    tiny cells — EdgeLengthRatioMeshCriteria with the tiny-triangle guard
+    (/root/reference/include/osmtools/MeshCriteria.h:229-290; guard
+    :277-284: when every edge is under ~1 m, q is forced to 1.0 because
+    refining such cells is useless).  Near the poles lon edges shrink by
+    cos(lat), so this is the criterion that catches grid-cell aspect skew."""
+
+    def is_bad(cells: DataFrame) -> Column:
+        e_bottom, e_top, e_side = _cell_edge_lengths_m(F.col("cell_key"))
+        eps = F.lit(2.220446049250313e-16)  # reference: clamp to epsilon
+        longest = F.greatest(F.greatest(e_bottom, e_top, e_side), eps)
+        shortest = F.greatest(F.least(e_bottom, e_top, e_side), eps)
+        q = F.when((longest < F.lit(tiny_m)) & (shortest < F.lit(tiny_m)), F.lit(1.0)).otherwise(
+            longest / shortest
+        )
+        return q > F.lit(max_ratio)
+
+    return is_bad
+
+
+def with_cell_id_criterion(inner: "callable", id_col: str = "cell_id") -> "callable":
+    """Restrict ``inner`` to cells that actually carry a cell id —
+    RefineTrianglesWithCellIdMeshCriteria
+    (/root/reference/include/osmtools/MeshCriteria.h:356-384: faces without
+    an assigned cellId are never refined)."""
+
+    def is_bad(cells: DataFrame) -> Column:
+        return F.col(id_col).isNotNull() & inner(cells)
+
+    return is_bad
+
+
 def lipschitz_criterion(max_level_gap: int = 1) -> "callable":
     """is_bad: a cell is more than ``max_level_gap`` levels coarser than its
     finest neighbor — the grid analog of LipschitzMeshCriteria's size slope

@@ -34,13 +34,23 @@ from libosmtools_spark.tiles.materialize import neighbor_keys_col
 MAX_ROUNDS = 10_000  # reference round cap
 
 
-def connected_components(cells: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(cells: DataFrame, max_iter: int = 50, algo: str = "jump") -> DataFrame:
     """cells(cell_key, cell_id) → (cell_key, cell_id, refined_cell_id).
 
     refined_cell_id is dense over (cell_id, component), so the
     refined→unrefined map of the reference
     (/root/reference/src/OsmTriangulationRegionStore.cpp:589) is just the
-    cell_id column retained alongside."""
+    cell_id column retained alongside.
+
+    ``algo``: 'jump' (default) interleaves pointer jumping
+    (label ← label(label)) with the neighbor-min propagation — path
+    compression halves the unresolved path length every round, so
+    convergence is O(log diameter) rounds instead of O(diameter).  At 100×
+    scale a grid component's diameter grows with its perimeter, making
+    plain propagation ('label') the stragglers' critical path; both
+    algorithms produce the identical fixpoint (component min), parity-
+    tested."""
+    assert algo in ("jump", "label")
     base = cells.select("cell_key", "cell_id")
     # same-cell_id adjacency edges (both directions)
     edges = (
@@ -65,7 +75,18 @@ def connected_components(cells: DataFrame, max_iter: int = 50) -> DataFrame:
             labels.join(nbr_min, "cell_key", "left")
             .withColumn("new_label", F.least(F.col("label"), F.coalesce("nbr_label", "label")))
             .select("cell_key", "cell_id", F.col("new_label").alias("label"))
-        ).localCheckpoint()
+        )
+        if algo == "jump":
+            # pointer jumping: label ← label(label).  A label is always the
+            # cell_key of some member of the same component, so the lookup
+            # table is new_labels itself.
+            lut = new_labels.select(
+                F.col("cell_key").alias("label"), F.col("label").alias("label2")
+            )
+            new_labels = new_labels.join(lut, "label", "left").select(
+                "cell_key", "cell_id", F.coalesce("label2", "label").alias("label")
+            )
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.join(labels.select("cell_key", F.col("label").alias("old")), "cell_key")
             .filter(F.col("label") != F.col("old"))

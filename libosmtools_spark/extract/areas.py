@@ -299,6 +299,29 @@ def extract_relation_polygons(
 # unified region table with dense ids (G1/G2)
 # ---------------------------------------------------------------------------
 
+def sort_regions(regions: DataFrame, by: list) -> DataFrame:
+    """G3 — OsmGridRegionTree::sort(cmp)
+    (/root/reference/include/osmtools/OsmGridRegionTree.h:174-184): reorder
+    regions by a comparator and REASSIGN the dense ids.  The reference
+    documents that the sort invalidates previously handed-out ids (do it
+    before building the raster); here the invalidated id is kept explicitly
+    as ``old_region_id`` so downstream tables can be remapped by a join.
+
+    ``by``: column names (constant per region, e.g. 'name') or Columns.
+    Ties break by (source, orig_id) for determinism."""
+    key_cols = ["source", "orig_id"]
+    by_names = [c if isinstance(c, str) else None for c in by]
+    assert all(n is not None for n in by_names), "pass column names constant per region"
+    heads = regions.select(*key_cols, F.col("region_id").alias("old_region_id"), *by_names).distinct()
+    ranked = heads.withColumn(
+        "region_id",
+        F.row_number().over(Window.orderBy(*by_names, *key_cols)) - 1,
+    ).select(*key_cols, "old_region_id", "region_id")
+    return regions.drop("region_id").join(ranked, key_cols).select(
+        "region_id", "old_region_id", *[c for c in regions.columns if c != "region_id"]
+    )
+
+
 def extract_regions(
     nodes: DataFrame, ways: DataFrame, relations: DataFrame, extraction_types: int = ET_ALL
 ) -> DataFrame:

@@ -155,6 +155,28 @@ class TestRelationExtraction:
 
 
 class TestUnifiedRegions:
+    def test_sort_regions_reassigns_dense_ids(self, osm):
+        """G3 — OsmGridRegionTree::sort invalidates ids and re-ranks
+        (/root/reference/include/osmtools/OsmGridRegionTree.h:174-184)."""
+        from libosmtools_spark.extract.areas import extract_regions, sort_regions
+
+        nodes, ways, rels = osm
+        regions = extract_regions(nodes, ways, rels)
+        by_size = sort_regions(regions, by=["source"]).toPandas()
+        # dense ids preserved
+        ids = sorted(by_size["region_id"].unique())
+        assert ids == list(range(len(ids)))
+        # new order: all 'relation' regions before 'way' regions
+        order = by_size[["region_id", "source"]].drop_duplicates().sort_values("region_id")
+        sources = list(order["source"])
+        assert sources == sorted(sources)
+        # the invalidated id is retained and forms a bijection
+        remap = by_size[["old_region_id", "region_id"]].drop_duplicates()
+        assert remap["old_region_id"].nunique() == len(remap)
+        assert remap["region_id"].nunique() == len(remap)
+        # rows preserved
+        assert len(by_size) == regions.count()
+
     def test_dense_ids(self, osm):
         from libosmtools_spark.extract.areas import extract_regions
 

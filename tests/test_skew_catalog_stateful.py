@@ -56,6 +56,40 @@ class TestCatalogSink:
         parts = [p for p in os.listdir(tmp_path / "page_cells") if p.startswith("cell_prefix=")]
         assert parts
 
+    def test_remap_sink_roundtrip(self, spark, sf_smoke, tmp_path):
+        """S11 gh-arrangement v2 remap sink
+        (/root/reference/src/OsmTriangulationRegionStore.cpp:1160-1225):
+        mapped ids translate, unmapped collapse to |mapping| (myNullCellId),
+        inverse table gives one representative per gh id."""
+        from libosmtools_spark.pipeline import SpatialEngine
+        from libosmtools_spark.run.catalog import read_table, write_remapped_cells
+
+        eng = SpatialEngine.from_fixtures(spark, sf_smoke)
+        pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).limit(400)
+        cells = eng.cells(pages).select("cell_key", "cell_id")
+        ids = sorted(r.cell_id for r in cells.select("cell_id").distinct().collect())
+        # map all but the last id, reversing order (a nontrivial remap)
+        mapped = ids[:-1]
+        mapping = spark.createDataFrame(
+            [(int(m), int(g)) for g, m in enumerate(reversed(mapped))],
+            "my_cell_id int, gh_cell_id int",
+        )
+        write_remapped_cells(cells, mapping, "gh_cells", str(tmp_path))
+        back = read_table(spark, "gh_cells", str(tmp_path)).toPandas()
+        n_null = len(mapped)
+        want = {m: g for g, m in enumerate(reversed(mapped))}
+        for _, row in back.iterrows():
+            assert row["gh_cell_id"] == want.get(row["cell_id"], n_null)
+        inv = read_table(spark, "gh_cells_inverse", str(tmp_path)).toPandas()
+        assert sorted(inv["gh_cell_id"]) == sorted(set(want.values()) & set(
+            back["gh_cell_id"]
+        ))
+        # every representative actually belongs to its gh cell
+        merged = inv.merge(
+            back, left_on=["gh_cell_id", "rep_cell_key"], right_on=["gh_cell_id", "cell_key"]
+        )
+        assert len(merged) == len(inv)
+
     def test_prefix_spreads_level6_keys(self, spark):
         """Regression: the prefix must be level-relative — a fixed absolute
         shift mapped every level-6 key to one constant, collapsing the

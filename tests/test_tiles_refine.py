@@ -121,6 +121,36 @@ class TestRefine:
         # each refined id maps to exactly one unrefined id
         assert (merged.groupby("refined_cell_id")["cell_id"].nunique() == 1).all()
 
+    def test_cc_jump_equals_label_propagation(self, spark, engine, pages, cells):
+        """Pointer-jumping CC (O(log d) rounds) must produce the identical
+        fixpoint as plain min-label propagation (O(d) rounds)."""
+        from libosmtools_spark.cells.refine import connected_components
+
+        a = connected_components(cells.select("cell_key", "cell_id"), algo="jump").toPandas()
+        b = connected_components(cells.select("cell_key", "cell_id"), algo="label").toPandas()
+        a = a.sort_values("cell_key").reset_index(drop=True)
+        b = b.sort_values("cell_key").reset_index(drop=True)
+        assert a.equals(b)
+
+    def test_cc_jump_fewer_rounds_on_path(self, spark):
+        """A long path graph converges in ~log2(n) jump rounds; plain
+        propagation needs ~n rounds (so with max_iter < n it must NOT have
+        converged, while jump has)."""
+        import pandas as pd
+
+        from libosmtools_spark.cells.refine import connected_components
+        from libosmtools_spark.geom.kernels import cell_key
+        import numpy as np
+
+        # 64 horizontally adjacent level-6 cells = one path component
+        lons = -180.0 + 2.8125 * np.arange(64) + 0.1
+        keys = cell_key(np.zeros(64), lons, 6)
+        df = spark.createDataFrame(pd.DataFrame({"cell_key": keys, "cell_id": 1}))
+        jump = connected_components(df, max_iter=10, algo="jump").toPandas()
+        assert jump["refined_cell_id"].nunique() == 1  # converged
+        label = connected_components(df, max_iter=10, algo="label").toPandas()
+        assert label["refined_cell_id"].nunique() > 1  # needs ~64 rounds
+
     def test_refine_oversized_bounds_counts(self, engine, pages):
         from libosmtools_spark.cells.refine import refine_oversized
         from libosmtools_spark.geom.kernels import _LEVEL_SHIFT
