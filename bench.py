@@ -62,7 +62,10 @@ def load_pages(spark, fixtures: str, inflate: int = 1):
     from pyspark.sql import functions as F
 
     cores = spark.sparkContext.defaultParallelism
-    pages = spark.read.parquet(_os.path.join(fixtures, "pages.parquet")).repartition(4 * cores)
+    # 8 tasks per core: the straggler tail of the last wave costs 1/waves
+    # of the wall — at 16 cores, 4-per-core measured ~13% idle tail
+    per_core = int(_os.environ.get("SPARK_GRAFT_PARTS_PER_CORE", "8"))
+    pages = spark.read.parquet(_os.path.join(fixtures, "pages.parquet")).repartition(per_core * cores)
     if inflate > 1:
         pages = (
             pages.withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(inflate))))
@@ -104,13 +107,17 @@ def bench_queries(spark, fixtures: str) -> dict[str, float]:
     picks = [
         "pip_region_sets",
         "doc_cell_ids",
+        "flagship_map",
         "knn",
         "tile_counts",
         "cell_dual_graph",
+        "connected_components",
         "dedup_exact",
         "jaccard_pairs",
         "minhash_lsh",
+        "simhash_pairs",
         "ann_cosine",
+        "ann_lsh",
         "token_count",
         "lang_id",
         "events_window",
@@ -133,9 +140,14 @@ def main() -> None:
     # warm the JVM/Arrow path once at small scale
     flagship_count(spark, ensure_fixtures("0.001"))
 
-    t0 = time.monotonic()
-    n_pages = flagship_count(spark, fixtures)
-    flagship_sec = time.monotonic() - t0
+    # min-of-2: single samples on this shared VM swing ±3x with neighbor
+    # load (BENCH/BASELINE.md); the minimum is the least-interfered run
+    flagship_sec, n_pages = None, 0
+    for _ in range(2):
+        t0 = time.monotonic()
+        n_pages = flagship_count(spark, fixtures)
+        dt = time.monotonic() - t0
+        flagship_sec = dt if flagship_sec is None else min(flagship_sec, dt)
 
     queries = {"flagship": round(flagship_sec, 3)}
     queries.update(bench_queries(spark, fixtures))

@@ -24,6 +24,7 @@ splitting.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -34,7 +35,59 @@ from libosmtools_spark.tiles.materialize import neighbor_keys_col
 MAX_ROUNDS = 10_000  # reference round cap
 
 
-def connected_components(cells: DataFrame, max_iter: int = 50, algo: str = "jump") -> DataFrame:
+#: cells tables up to this many rows take the driver-local vectorized path
+#: — the cells dictionary is DIMENSION-scale (it broadcasts in the flagship
+#: join; the reference's makeConnected is likewise an in-memory DFS,
+#: /root/reference/src/OsmTriangulationRegionStore.cpp:517-591)
+LOCAL_CC_MAX_ROWS = 2_000_000
+
+
+def _local_component_labels(keys: np.ndarray, cids: np.ndarray, max_iter: int = 64) -> np.ndarray:
+    """Component-min labels over the same-cell_id ring-1 grid adjacency,
+    fully vectorized numpy: one neighbor-min sweep (np.minimum.at) + one
+    pointer jump (label ← label(label)) per round → O(log diameter) rounds,
+    microseconds per round at dimension scale.  ``keys`` must be sorted
+    ascending.  Same fixpoint as the distributed loop (parity-tested)."""
+    n = len(keys)
+    level = keys >> _LEVEL_SHIFT
+    iy = (keys >> 28) & ((1 << 27) - 1)
+    ix = keys & ((1 << 28) - 1)
+    nlat = np.int64(1) << level
+    nlon = nlat * 2
+    srcs, dsts = [], []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            niy = iy + dy
+            ok = (niy >= 0) & (niy < nlat)
+            nix = (ix + dx) % nlon
+            nkey = (level << _LEVEL_SHIFT) + (niy << 28) + nix
+            pos = np.searchsorted(keys, nkey)
+            pos[pos >= n] = n - 1
+            hit = ok & (keys[pos] == nkey)
+            src = np.flatnonzero(hit)
+            dst = pos[src]
+            same = cids[src] == cids[dst]
+            srcs.append(src[same])
+            dsts.append(dst[same])
+    src = np.concatenate(srcs) if srcs else np.empty(0, dtype=np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, dtype=np.int64)
+    lab = keys.copy()
+    for _ in range(max_iter):
+        old = lab
+        lab = lab.copy()
+        if len(src):
+            np.minimum.at(lab, src, lab[dst])
+        # pointer jump: labels are member keys, so their index is their
+        # position in the sorted key array
+        lab = lab[np.searchsorted(keys, lab)]
+        if (lab == old).all():
+            break
+    return lab
+
+
+def connected_components(cells: DataFrame, max_iter: int = 50, algo: str = "auto") -> DataFrame:
     """cells(cell_key, cell_id) → (cell_key, cell_id, refined_cell_id).
 
     refined_cell_id is dense over (cell_id, component), so the
@@ -42,15 +95,41 @@ def connected_components(cells: DataFrame, max_iter: int = 50, algo: str = "jump
     (/root/reference/src/OsmTriangulationRegionStore.cpp:589) is just the
     cell_id column retained alongside.
 
-    ``algo``: 'jump' (default) interleaves pointer jumping
-    (label ← label(label)) with the neighbor-min propagation — path
-    compression halves the unresolved path length every round, so
-    convergence is O(log diameter) rounds instead of O(diameter).  At 100×
-    scale a grid component's diameter grows with its perimeter, making
-    plain propagation ('label') the stragglers' critical path; both
-    algorithms produce the identical fixpoint (component min), parity-
-    tested."""
-    assert algo in ("jump", "label")
+    ``algo``:
+    - 'auto' (default): count-gated dispatch — the cells dictionary is a
+      dimension table (it broadcasts in the flagship join), so up to
+      LOCAL_CC_MAX_ROWS it runs the vectorized in-memory path (the
+      reference's own makeConnected posture, a DFS over an in-memory
+      triangulation); larger tables fall through to 'jump'.
+    - 'jump': distributed DataFrame loop — pointer jumping (label ←
+      label(label)) interleaved with neighbor-min propagation; O(log
+      diameter) rounds instead of O(diameter).
+    - 'label': plain min-label propagation, O(diameter) rounds — kept for
+      parity testing.
+    All three produce the identical fixpoint (component-min labels; parity-
+    tested and oracle-checked)."""
+    assert algo in ("auto", "jump", "label")
+    if algo == "auto":
+        n = cells.count()
+        if n <= LOCAL_CC_MAX_ROWS:
+            import pandas as pd
+
+            pdf = cells.select("cell_key", "cell_id").toPandas().sort_values("cell_key")
+            keys = pdf["cell_key"].to_numpy(dtype=np.int64)
+            cids = pdf["cell_id"].to_numpy(dtype=np.int64)
+            lab = _local_component_labels(keys, cids)
+            # dense_rank over distinct (cell_id, label), cell 0 pinned to 0 —
+            # identical to the Window dense_rank of the distributed path
+            pairs = np.stack([cids, lab], axis=1)
+            # np.unique(axis=0) sorts rows lexicographically — the same
+            # order as Window.orderBy(cell_id, label); inverse = rank-1
+            _, inv = np.unique(pairs, axis=0, return_inverse=True)
+            refined = np.where(cids == 0, 0, inv.astype(np.int64) + 1)
+            out = pd.DataFrame(
+                {"cell_key": keys, "cell_id": pdf["cell_id"].to_numpy(), "refined_cell_id": refined}
+            )
+            return cells.sparkSession.createDataFrame(out)
+        algo = "jump"
     base = cells.select("cell_key", "cell_id")
     # same-cell_id adjacency edges (both directions)
     edges = (

@@ -219,20 +219,29 @@ def cell_diag_m(key):
 # ---------------------------------------------------------------------------
 
 #: target element count of the (points x edges) temporaries — keeps each
-#: intermediate ≈2 MB so the ray cast stays cache-resident.  The unchunked
-#: broadcast on a 65k-point x 800-edge batch allocates multi-hundred-MB
-#: temporaries and goes memory-bandwidth-bound: measured 60.7 s vs 0.68 s
-#: chunked on this hardware, and chunking restores ~0.8 parallel efficiency.
-_PIP_CHUNK_ELEMS = 262_144
+#: intermediate ≈512 KB so the ray cast's working set stays within a core's
+#: PRIVATE cache instead of the shared L3 (the multiprocess-contention
+#: microbench, tools/pip_microbench.py, measures 4→16-proc efficiency 0.95
+#: at 65k elements vs 0.72 at 1M; the unchunked kernel was measured 60.7 s
+#: vs 0.68 s on a 65k-point × 800-edge batch and did not scale with cores).
+_PIP_CHUNK_ELEMS = 65_536
 
 
 def _point_in_ring_block(y, x, y1, x1, y2, x2):
+    """Division-free ray-cast block: ``x < x1 + (y-y1)/(y2-y1)*(x2-x1)``
+    cross-multiplied after scaling both sides by sign(y2-y1) — multiplying
+    by ±1 is exact, so the strict `<` (the half-open boundary rule) is
+    preserved for on-edge points, unlike a naive inequality flip which
+    would turn `<` into `<=` on descending edges.  Measured ~15% faster
+    than the division form under 16-way contention
+    (tools/pip_microbench.py); agrees with it exactly on vertex/edge
+    points (exact products) and everywhere off-boundary."""
     straddle = (y1 <= y) != (y2 <= y)
-    # x coordinate where the edge crosses the point's latitude
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (y - y1) / (y2 - y1)
-        xi = x1 + t * (x2 - x1)
-    crossings = straddle & (x < xi)
+    d = y2 - y1
+    s = np.sign(d)
+    lhs = (x - x1) * (d * s)          # (x - x1) * |d|
+    rhs = (y - y1) * ((x2 - x1) * s)
+    crossings = straddle & (lhs < rhs)
     return (crossings.sum(axis=1) % 2).astype(bool)
 
 

@@ -83,7 +83,11 @@ def map_spatial_join(
         )
     n_words = max(1, (n_regions + 62) // 63)
     id_type = dict(points.dtypes)[id_col]
-    schema = f"{id_col} {id_type}, cell_key long, mask array<long>"
+    # mask words as FLAT int64 columns (m0, m1, …): each is a plain numpy
+    # column through Arrow — no per-row Python list objects (at millions of
+    # rows per batch the list-of-arrays assembly dominated UDF time)
+    word_cols = ", ".join(f"m{w} long" for w in range(n_words))
+    schema = f"{id_col} {id_type}, cell_key long, {word_cols}"
 
     # sorted candidate-cell key array for vectorized membership tests —
     # at planet scale most cells (ocean) have no regions; looping over
@@ -91,20 +95,31 @@ def map_spatial_join(
     cand_keys_sorted = np.array(sorted(candidates_bcast.value.keys()), dtype=np.int64)
 
     def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         cands = candidates_bcast.value
         rings = rings_bcast.value
-        for pdf in batches:
-            n = len(pdf)
-            la = pdf[lat].to_numpy(dtype=np.float64)
-            lo = pdf[lon].to_numpy(dtype=np.float64)
+        nan = pa.scalar(float("nan"), type=pa.float64())
+        for batch in batches:
+            n = batch.num_rows
+            # Arrow-native I/O (mapInArrow): the id column passes through as
+            # an Arrow buffer — a pandas round-trip would materialize
+            # millions of Python string objects per task, which dominated
+            # allocator time at high thread counts.
+            la = pc.fill_null(batch.column(lat).cast(pa.float64()), nan).to_numpy(
+                zero_copy_only=False
+            )
+            lo = pc.fill_null(batch.column(lon).cast(pa.float64()), nan).to_numpy(
+                zero_copy_only=False
+            )
             # cell_key is NULL-free by construction (NULL → -1 sentinel
-            # JVM-side below): a single NULL would make pandas deliver the
-            # Arrow column as float64, and level-6 keys (~2.2e17) exceed
-            # float64's 53-bit exact-integer range — every key in the batch
-            # would silently round and miss the candidate lookup.  The
-            # dtype-forcing to_numpy raises loudly if a float column ever
-            # sneaks through again.
-            keys = pdf["cell_key"].to_numpy(dtype=np.int64)
+            # JVM-side below), so the int64 Arrow buffer converts straight
+            # to int64 numpy; any float detour would silently round level-6
+            # keys (~2.2e17 — past float64's 53-bit exact-integer range) and
+            # corrupt the whole batch — the asarray int64 check raises
+            # loudly if that ever regresses.
+            keys = np.asarray(batch.column("cell_key").to_numpy(), dtype=np.int64)
             masks = np.zeros((n, n_words), dtype=np.int64)
             valid = keys >= 0
             vkeys = keys[valid]
@@ -142,16 +157,21 @@ def map_spatial_join(
                         outers, inners = rings[int(rid)]
                         hit = K.point_in_rings(la_sel, lo_sel, outers, inners)
                     masks[sel[hit], word] |= np.int64(1) << np.int64(bit)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "cell_key": keys, "mask": list(masks)}
-            )
+            arrays = [batch.column(id_col), batch.column("cell_key")]
+            names = [id_col, "cell_key"]
+            for w in range(n_words):
+                arrays.append(pa.array(np.ascontiguousarray(masks[:, w])))
+                names.append(f"m{w}")
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
     # NULL cell_key (geocode miss) → -1 sentinel so the Arrow column stays
     # int64 end-to-end (see the dtype note inside run); restored below.
     pts = points.select(
         id_col, lat, lon, F.coalesce(F.col("cell_key"), F.lit(-1).cast("long")).alias("cell_key")
     )
-    out = pts.mapInPandas(run, schema)
+    out = pts.mapInArrow(run, schema).withColumn(
+        "mask", F.array(*[F.col(f"m{w}") for w in range(n_words)])
+    )
     # decode: for word w and bit b, region id = w*63 + b
     decode = F.expr(
         "filter(flatten(transform(mask, (m, w) -> "

@@ -96,6 +96,90 @@ def extract_features(media: DataFrame, use_stub: bool = True) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def decode_stub_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decoder: materializes a (height, width) uint8
+    luma plane by tiling the payload bytes.  CLEARLY A FAKE — it stands in
+    for PIL/libjpeg (not installed here) so the downstream resize /
+    feature / frame plumbing runs on real arrays with real shapes; swap for
+    a real decoder on a cluster image that ships codecs."""
+    n = width * height
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    if len(buf) == 0:
+        buf = np.zeros(1, dtype=np.uint8)
+    reps = -(-n // len(buf))
+    return np.tile(buf, reps)[:n].reshape(height, width)
+
+
+RESIZED_SCHEMA = "media_id long, out_w int, out_h int, plane binary, mean_luma double"
+
+
+def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """decode → block-mean resize to (out_h, out_w) → packed binary plane +
+    mean luma.  The Spark shape is the production one: one Arrow batch per
+    task, numpy-vectorized per item, binary in / binary out, no driver
+    involvement.  Items without dimensions fall back to a square inferred
+    from payload length (documented fake-decoder behavior)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, planes, means = [], [], [], [], []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                w = int(row["width"]) if pd.notna(row["width"]) else max(int(len(b) ** 0.5), 1)
+                h = int(row["height"]) if pd.notna(row["height"]) else w
+                img = decode_stub_image(b, w, h).astype(np.float64)
+                # block-mean resize: pad to a multiple of the output grid,
+                # then mean over (h/out_h, w/out_w) blocks — pure numpy
+                ph = -(-h // out_h) * out_h
+                pw = -(-w // out_w) * out_w
+                padded = np.zeros((ph, pw))
+                padded[:h, :w] = img
+                small = padded.reshape(out_h, ph // out_h, out_w, pw // out_w).mean(axis=(1, 3))
+                ids.append(row["media_id"])
+                ws.append(out_w)
+                hs.append(out_h)
+                planes.append(small.astype(np.uint8).tobytes())
+                means.append(float(img.mean()))
+            yield pd.DataFrame(
+                {"media_id": ids, "out_w": ws, "out_h": hs, "plane": planes, "mean_luma": means}
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary, n_frames int"
+
+
+def frame_sample(media: DataFrame, every_k: int = 4, frame_bytes: int = 256) -> DataFrame:
+    """Video frame sampling: treat the payload as frame-major stripes of
+    ``frame_bytes`` (the fake-codec stand-in for demuxing) and emit every
+    k-th frame as its own row — the explode-shaped mapInPandas the real
+    ffmpeg-based sampler plugs into (same schema, same batch contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, totals = [], [], [], []
+            for _, row in pdf.iterrows():
+                payload = row["payload"]
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                n_frames = max(len(b) // frame_bytes, 1)
+                for i in range(0, n_frames, every_k):
+                    ids.append(row["media_id"])
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+                    totals.append(n_frames)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames, "n_frames": totals}
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def pages_html_media(pages: DataFrame) -> DataFrame:
     """Adapter: the pages table's html binary column as a media table —
     exercises the plumbing against the fixture corpus."""

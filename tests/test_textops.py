@@ -180,6 +180,32 @@ class TestMultimodal:
         with pytest.raises(DecodeUnavailable):
             real_decode(b"xx", "image/png")
 
+    def test_resize_plumbing(self, spark, sf_smoke):
+        from libosmtools_spark.mm.multimodal import pages_html_media, resize_media
+
+        pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).limit(50)
+        out = resize_media(pages_html_media(pages), out_w=8, out_h=8).toPandas()
+        assert len(out) == 50
+        assert out["plane"].map(len).eq(64).all()  # 8x8 uint8 plane
+        assert out["mean_luma"].between(0, 255).all()
+        # determinism (fake decoder is payload-deterministic)
+        out2 = resize_media(pages_html_media(pages), out_w=8, out_h=8).toPandas()
+        a = out.sort_values("media_id").reset_index(drop=True)
+        b = out2.sort_values("media_id").reset_index(drop=True)
+        assert (a["plane"] == b["plane"]).all()
+
+    def test_frame_sample_plumbing(self, spark, sf_smoke):
+        from libosmtools_spark.mm.multimodal import frame_sample, pages_html_media
+
+        pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).limit(20)
+        out = frame_sample(pages_html_media(pages), every_k=4, frame_bytes=64).toPandas()
+        assert out["media_id"].nunique() == 20
+        # every media contributes frame 0 and only every-4th frames
+        assert (out["frame_idx"] % 4 == 0).all()
+        per = out.groupby("media_id").agg(n=("frame_idx", "size"), tot=("n_frames", "first"))
+        assert (per["n"] == -(-per["tot"] // 4)).all()
+        assert out["frame"].map(len).le(64).all()
+
 
 class TestStreaming:
     def test_stream_matches_batch(self, spark, sf_smoke):

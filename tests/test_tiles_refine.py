@@ -121,16 +121,25 @@ class TestRefine:
         # each refined id maps to exactly one unrefined id
         assert (merged.groupby("refined_cell_id")["cell_id"].nunique() == 1).all()
 
-    def test_cc_jump_equals_label_propagation(self, spark, engine, pages, cells):
-        """Pointer-jumping CC (O(log d) rounds) must produce the identical
-        fixpoint as plain min-label propagation (O(d) rounds)."""
+    def test_cc_all_algorithms_agree(self, spark, engine, pages, cells):
+        """auto (vectorized local), jump (pointer-jumping distributed) and
+        label (plain propagation) must produce the identical fixpoint."""
+        import pandas as pd
+
         from libosmtools_spark.cells.refine import connected_components
 
-        a = connected_components(cells.select("cell_key", "cell_id"), algo="jump").toPandas()
-        b = connected_components(cells.select("cell_key", "cell_id"), algo="label").toPandas()
-        a = a.sort_values("cell_key").reset_index(drop=True)
-        b = b.sort_values("cell_key").reset_index(drop=True)
-        assert a.equals(b)
+        src = cells.select("cell_key", "cell_id")
+        frames = {
+            algo: connected_components(src, algo=algo)
+            .toPandas()
+            .sort_values("cell_key")
+            .reset_index(drop=True)
+            for algo in ("auto", "jump", "label")
+        }
+        for algo in ("jump", "label"):
+            pd.testing.assert_frame_equal(
+                frames["auto"], frames[algo], check_dtype=False, obj=algo
+            )
 
     def test_cc_jump_fewer_rounds_on_path(self, spark):
         """A long path graph converges in ~log2(n) jump rounds; plain
