@@ -72,3 +72,26 @@ def assign_point_cell_ids(points_with_key: DataFrame, cells: DataFrame) -> DataF
         points_with_key.join(F.broadcast(cells.select("cell_key", "cell_id")), "cell_key", "left")
         .withColumn("cell_id", F.coalesce(F.col("cell_id"), F.lit(0)))
     )
+
+
+def handle_cell_changes(points_with_key: DataFrame, cells: DataFrame, rebuild):
+    """T20 repair — the handleCellChanges contract
+    (/root/reference/src/OsmTriangulationRegionStore.cpp:927-943): after a
+    geometry-mutating operation (snapping, re-refinement), the cell
+    dictionary survives only if (a) every point still resolves to a known
+    cell (every face hasCellId) and (b) the set of live cell ids still
+    matches the dictionary (cellIds.size() == cellIdToCellList.size());
+    otherwise the dictionary is cleared and rebuilt via ``rebuild()``.
+
+    Returns (cells_df, rebuilt: bool)."""
+    live = points_with_key.select("cell_key").distinct().join(
+        cells.select("cell_key", "cell_id"), "cell_key", "left"
+    )
+    counts = live.agg(
+        F.sum(F.col("cell_id").isNull().cast("int")).alias("n_unknown"),
+        F.count_distinct(F.col("cell_id")).alias("n_live_ids"),
+    ).collect()[0]
+    n_dict = cells.select("cell_id").distinct().count()
+    if (counts["n_unknown"] or 0) > 0 or counts["n_live_ids"] != n_dict:
+        return rebuild(), True
+    return cells, False

@@ -160,6 +160,34 @@ class TestRefine:
         label = connected_components(df, max_iter=10, algo="label").toPandas()
         assert label["refined_cell_id"].nunique() > 1  # needs ~64 rounds
 
+    def test_handle_cell_changes_repair(self, spark, engine, pages, cells):
+        """T20 repair — handleCellChanges
+        (/root/reference/src/OsmTriangulationRegionStore.cpp:927-943):
+        unchanged geometry keeps the dictionary; moved points (unknown
+        cells) trigger the clear-and-rebuild path."""
+        from libosmtools_spark.cells.assign import build_cells_table, handle_cell_changes
+        from pyspark.sql import functions as F
+
+        pts = engine.page_points(pages).select("url", "cell_key")
+        kept, rebuilt = handle_cell_changes(
+            pts, cells, rebuild=lambda: (_ for _ in ()).throw(AssertionError("no rebuild"))
+        )
+        assert not rebuilt
+
+        moved = pts.withColumn("cell_key", F.col("cell_key") + 10_000)  # unknown cells
+        new_cells, rebuilt2 = handle_cell_changes(
+            moved,
+            cells,
+            rebuild=lambda: build_cells_table(
+                moved.select("cell_key"), engine.cell_index, engine.rings_bcast, engine.level
+            ),
+        )
+        assert rebuilt2
+        missing = moved.select("cell_key").distinct().join(
+            new_cells, "cell_key", "left_anti"
+        )
+        assert missing.count() == 0
+
     def test_refine_oversized_bounds_counts(self, engine, pages):
         from libosmtools_spark.cells.refine import refine_oversized
         from libosmtools_spark.geom.kernels import _LEVEL_SHIFT

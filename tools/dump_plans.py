@@ -45,7 +45,7 @@ def main():
     sections.append((
         "flagship_map (zero-shuffle broadcast-store plan)",
         p,
-        ["MapInPandas", "BroadcastHashJoin"],
+        ["MapInArrow", "BroadcastHashJoin"],
     ))
 
     p = plan_of(eng.flagship(pages))
