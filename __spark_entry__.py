@@ -417,6 +417,28 @@ def q_knn(spark, sf_dir):
     )
 
 
+def q_knn_ring(spark, sf_dir):
+    """kNN with the DISTRIBUTED ring-expansion path forced (the 100-TB
+    plan; q_knn's auto-dispatch picks brute at oracle scale) — same exact
+    output contract, same oracle."""
+    from libosmtools_spark.knn.ring import knn_join
+
+    pts = _points(spark, sf_dir)
+    return knn_join(pts, "doc_id", k=KNN_K, level=LEVEL, method="ring").select(
+        "doc_id", F.col("neighbor_id").cast("long").alias("neighbor_id"), "rank"
+    )
+
+
+def q_region_cells(spark, sf_dir):
+    """T12 region→cells inverted index over the interned cells table."""
+    from libosmtools_spark.tiles.materialize import region_cells_inverted
+
+    cells = _doc_cells_dict(spark, sf_dir)
+    return region_cells_inverted(cells).select(
+        "region_id", "cell_key", F.col("cell_id").cast("long").alias("cell_id")
+    )
+
+
 def q_raster_to_vector(spark, sf_dir):
     from libosmtools_spark.joins.spatial import with_cell_key
     from libosmtools_spark.tiles.materialize import raster_to_vector
@@ -598,6 +620,17 @@ def q_ann_cosine(spark, sf_dir):
     return ann_topk(emb, k=KNN_K).select("vec_id", "neighbor_id", "rank")
 
 
+def q_ann_cosine_blocked(spark, sf_dir):
+    """Exact ANN via the DISTRIBUTED block-nested-loop path (what ann_topk
+    dispatches to beyond broadcast scale) — identical output, same oracle."""
+    from libosmtools_spark.sim.ann import cosine_topk_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_blocked(
+        emb, k=KNN_K, n_query_blocks=4, n_corpus_blocks=4
+    ).select("vec_id", "neighbor_id", "rank")
+
+
 def q_ann_lsh(spark, sf_dir):
     from libosmtools_spark.sim.ann import lsh_topk
 
@@ -707,6 +740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cells_dict": q_cells_dict,
         "doc_cell_ids": q_doc_cell_ids,
         "knn": q_knn,
+        "knn_ring": q_knn_ring,
+        "region_cells": q_region_cells,
         "raster_to_vector": q_raster_to_vector,
         "vector_to_raster": q_vector_to_raster,
         "tile_counts": q_tile_counts,
@@ -726,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,
+        "ann_cosine_blocked": q_ann_cosine_blocked,
         "ann_lsh": q_ann_lsh,
         "mm_features": q_mm_features,
         # events
@@ -801,8 +837,13 @@ def oracle_sql() -> dict[str, str]:
         v2r_parts.append(rect_cells(rid, a, c, b, d, hole))
     v2r_sql = "\nUNION ALL\n".join(v2r_parts)
 
-    return {
+    out = {
         "pip_region_rows": f"WITH pts AS ({POINTS_CTE})\n{PIP_ROWS_SQL}",
+        "region_cells": f"""
+            WITH {CELL_SETS_CTE}
+            SELECT h.region_id, h.cell_key, CAST(cf.cell_id AS BIGINT) AS cell_id
+            FROM hits h JOIN cells_final cf ON h.cell_key = cf.cell_key
+        """,
         "pip_region_sets": f"""
             WITH pts AS ({POINTS_CTE}),
             hits AS ({PIP_ROWS_SQL})
@@ -1011,3 +1052,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, neighbor_id, rank FROM ranked WHERE rank <= {KNN_K}
         """,
     }
+    # distributed-path variants share the exact contract (and oracle) of
+    # their broadcast counterparts — that equality IS the check
+    out["knn_ring"] = out["knn"]
+    out["ann_cosine_blocked"] = out["ann_cosine"]
+    return out
