@@ -109,23 +109,42 @@ def _hash_shingles(sh: np.ndarray) -> np.ndarray:
 
 def minhash_signature_udf(num_perm: int = 64, seed: int = 42):
     """doc's shingle array → minhash signature array<long> (num_perm
-    universal-hash permutations h_i(x) = (a_i x + b_i) mod p)."""
+    universal-hash permutations h_i(x) = (a_i x + b_i) mod p).
+
+    Vectorized ACROSS docs: each Arrow batch concatenates its docs'
+    shingles, hashes and permutes the flat array once, and splits per-doc
+    minima out with np.minimum.reduceat — no per-doc numpy dispatch (the
+    per-doc loop dominated the 200k-doc signature stage).  Arithmetic is
+    element-identical to the per-doc form, so signatures are unchanged."""
     rng = np.random.default_rng(seed)
     A = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
     B = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    flat_chunk = 200_000  # bounds the (num_perm, chunk) uint64 temporaries
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(shingles: pd.Series) -> pd.Series:
-        out = []
-        for arr in shingles:
+        out: list = [None] * len(shingles)
+        idxs, arrs = [], []
+        for i, arr in enumerate(shingles):
             if arr is None or len(arr) == 0:
-                out.append([0] * num_perm)
-                continue
-            hv = _hash_shingles(np.asarray(arr, dtype=object))
-            # (A * h + B) mod p, per permutation — (num_perm, n) matrix min
-            prod = (A[:, None] * (hv[None, :] % _MERSENNE)) % _MERSENNE
-            mh = ((prod + B[:, None]) % _MERSENNE).min(axis=1)
-            out.append(mh.astype(np.int64).tolist())
+                out[i] = [0] * num_perm
+            else:
+                idxs.append(i)
+                arrs.append(np.asarray(arr, dtype=object))
+        j = 0
+        while j < len(idxs):
+            k, tot = j, 0
+            while k < len(idxs) and (tot == 0 or tot + len(arrs[k]) <= flat_chunk):
+                tot += len(arrs[k])
+                k += 1
+            flat = np.concatenate(arrs[j:k])
+            hv = _hash_shingles(flat) % _MERSENNE
+            mh_all = (A[:, None] * hv[None, :] % _MERSENNE + B[:, None]) % _MERSENNE
+            offs = np.cumsum([0] + [len(a) for a in arrs[j:k]])[:-1]
+            mins = np.minimum.reduceat(mh_all, offs, axis=1).astype(np.int64)
+            for d in range(k - j):
+                out[idxs[j + d]] = mins[:, d].tolist()
+            j = k
         return pd.Series(out)
 
     return sig
