@@ -4,7 +4,7 @@ The reference's query path is a per-point lookup against an in-memory
 GridRegionTree (/root/reference/include/osmtools/OsmGridRegionTree.h:109-151)
 — no data movement at all.  When the polygon store + cell index broadcast
 (the normal case: the store is a dimension table), the Spark-faithful
-translation is a single ``mapInPandas`` pass:
+translation is a single ``mapInArrow`` pass:
 
     pages → geocode + cell_key (JVM Columns) → one Arrow-batched map that
     resolves each point's region set from the broadcast index (definite

@@ -89,7 +89,7 @@ class SpatialEngine:
 
     def flagship_map(self, pages: DataFrame) -> DataFrame:
         """(url, cell_key, cell_id, region_ids) with ZERO shuffles — the
-        broadcast-store plan (joins/mapjoin.py): one mapInPandas resolves
+        broadcast-store plan (joins/mapjoin.py): one mapInArrow resolves
         each page's region set; the cells dictionary joins broadcast.  The
         plan of record for 10^12 pages with a broadcastable polygon store
         (the reference's own in-memory posture)."""
