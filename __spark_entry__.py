@@ -73,8 +73,24 @@ def _lon_col():
     return (F.col("doc_id") * 7919 % 3600) / 10.0 - 180.0
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table, split across cores.  A single local parquet file is
+    ONE input split, which would serialize every shingle/fingerprint stage
+    into one task (measured: the whole minhash signature stage ran on one
+    core); on a real cluster the reader splits by row groups on its own, so
+    the repartition is the local-mode proxy for that, not a plan change."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings table, split across cores (same single-file rationale)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", _lat_col().alias("lat"), _lon_col().alias("lon"))
 
 
@@ -541,14 +557,14 @@ def q_flagship_map(spark, sf_dir):
 def q_token_count(spark, sf_dir):
     from libosmtools_spark.text.analysis import token_count_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens"))
 
 
 def q_quality(spark, sf_dir):
     from libosmtools_spark.text.analysis import quality_cols
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     q = quality_cols(F.col("text"))
     return docs.select(
         "doc_id",
@@ -563,14 +579,14 @@ def q_quality(spark, sf_dir):
 def q_lang_id(spark, sf_dir):
     from libosmtools_spark.text.analysis import predicted_lang_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", predicted_lang_col(F.col("text")).alias("pred_lang"))
 
 
 def q_fingerprint(spark, sf_dir):
     from libosmtools_spark.text.analysis import fingerprint_cols
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     fp = fingerprint_cols(F.col("text"))
     return docs.select("doc_id", fp["fp_md5"].alias("fp_md5"), fp["fp_len"].alias("fp_len"))
 
@@ -578,28 +594,28 @@ def q_fingerprint(spark, sf_dir):
 def q_dedup_exact(spark, sf_dir):
     from libosmtools_spark.dedup.dedup import exact_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return exact_dedup(docs).select("doc_id", "canonical_id", "group_size")
 
 
 def q_jaccard_pairs(spark, sf_dir):
     from libosmtools_spark.dedup.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return ngram_jaccard_pairs(docs, threshold=0.2).select("a", "b", "jaccard")
 
 
 def q_minhash_lsh(spark, sf_dir):
     from libosmtools_spark.dedup.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return minhash_lsh_pairs(docs, threshold=0.5, num_perm=64, bands=32).select("a", "b", "jaccard")
 
 
 def q_simhash(spark, sf_dir):
     from libosmtools_spark.dedup.dedup import simhash_fingerprints
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return simhash_fingerprints(docs).select("doc_id", "simhash")
 
 
@@ -608,7 +624,7 @@ def q_simhash_pairs(spark, sf_dir):
     banded bucket join with guaranteed recall (pigeonhole: 4 bands)."""
     from libosmtools_spark.dedup.dedup import simhash_fingerprints, simhash_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     fps = simhash_fingerprints(docs)
     return simhash_pairs(fps, max_hamming=3, n_bands=4).select("a", "b", "hamming")
 
@@ -616,7 +632,7 @@ def q_simhash_pairs(spark, sf_dir):
 def q_ann_cosine(spark, sf_dir):
     from libosmtools_spark.sim.ann import ann_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return ann_topk(emb, k=KNN_K).select("vec_id", "neighbor_id", "rank")
 
 
@@ -625,7 +641,7 @@ def q_ann_cosine_blocked(spark, sf_dir):
     dispatches to beyond broadcast scale) — identical output, same oracle."""
     from libosmtools_spark.sim.ann import cosine_topk_blocked
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return cosine_topk_blocked(
         emb, k=KNN_K, n_query_blocks=4, n_corpus_blocks=4
     ).select("vec_id", "neighbor_id", "rank")
@@ -637,14 +653,14 @@ def q_ann_lsh(spark, sf_dir):
     # neighbors; the oracle (_ann_lsh_sql) replicates the same constants
     from libosmtools_spark.sim.ann import lsh_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return lsh_topk(emb, k=KNN_K, n_planes=6, n_tables=16).select("vec_id", "neighbor_id", "rank")
 
 
 def q_mm_features(spark, sf_dir):
     from libosmtools_spark.mm.multimodal import extract_features
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),

@@ -33,11 +33,22 @@ from libosmtools_spark.text.analysis import shingles_col
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, canonical_id, group_size): canonical = min id per identical
-    text.  A doc is a duplicate iff doc_id != canonical_id."""
-    groups = docs.groupBy(text_col).agg(
+    text.  A doc is a duplicate iff doc_id != canonical_id.
+
+    Shuffle diet (100 TB): the group/join key is ``(xxhash64(text),
+    length(text))`` — the multi-KB text column itself never rides a
+    shuffle; only id + 8-byte hash + length move.  xxhash64 collisions at
+    equal length are ~2^-64 per pair; callers needing cryptographic
+    certainty can re-verify inside the (tiny) groups."""
+    keyed = docs.select(
+        F.col(id_col),
+        F.xxhash64(F.col(text_col)).alias("_h"),
+        F.length(F.col(text_col)).alias("_len"),
+    )
+    groups = keyed.groupBy("_h", "_len").agg(
         F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
     )
-    return docs.join(groups, text_col).select(id_col, "canonical_id", "group_size")
+    return keyed.join(groups, ["_h", "_len"]).select(id_col, "canonical_id", "group_size")
 
 
 # ---------------------------------------------------------------------------
@@ -99,38 +110,40 @@ def ngram_jaccard_pairs(
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _hash_shingles(sh: np.ndarray) -> np.ndarray:
-    """64-bit shingle hashes via pandas' vectorized SipHash
-    (pd.util.hash_array with its fixed default key) — deterministic across
-    processes and platforms (it backs Spark/pandas hash partitioning) and
-    ~100× faster than a per-byte Python loop."""
-    return pd.util.hash_array(np.asarray(sh, dtype=object), categorize=False).astype(np.uint64)
+def hashed_shingles_col(text, k: int = 3) -> "F.Column":
+    """array<long> of 64-bit shingle hashes, computed ENTIRELY JVM-side:
+    ``transform(shingles, s -> xxhash64(s))``.  The shingle strings never
+    leave the JVM — only fixed-width int64 arrays cross Arrow into the
+    signature UDF, which cut the 200k-doc signature stage from the
+    dominant bench cost (object-dtype string hashing in Python) to a pure
+    integer permute."""
+    return F.transform(shingles_col(text, k), lambda s: F.xxhash64(s))
 
 
 def minhash_signature_udf(num_perm: int = 64, seed: int = 42):
-    """doc's shingle array → minhash signature array<long> (num_perm
-    universal-hash permutations h_i(x) = (a_i x + b_i) mod p).
+    """doc's hashed-shingle array<long> → minhash signature array<long>
+    (num_perm universal-hash permutations h_i(x) = (a_i x + b_i) mod p).
 
-    Vectorized ACROSS docs: each Arrow batch concatenates its docs'
-    shingles, hashes and permutes the flat array once, and splits per-doc
-    minima out with np.minimum.reduceat — no per-doc numpy dispatch (the
-    per-doc loop dominated the 200k-doc signature stage).  Arithmetic is
-    element-identical to the per-doc form, so signatures are unchanged."""
+    Vectorized ACROSS docs: each Arrow batch concatenates its docs' hash
+    arrays, permutes the flat uint64 array once, and splits per-doc minima
+    out with np.minimum.reduceat — no per-doc numpy dispatch and no string
+    traffic (shingles arrive pre-hashed via hashed_shingles_col)."""
     rng = np.random.default_rng(seed)
     A = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
     B = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
     flat_chunk = 200_000  # bounds the (num_perm, chunk) uint64 temporaries
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def sig(shingles: pd.Series) -> pd.Series:
-        out: list = [None] * len(shingles)
+    def sig(shingle_hashes: pd.Series) -> pd.Series:
+        out: list = [None] * len(shingle_hashes)
         idxs, arrs = [], []
-        for i, arr in enumerate(shingles):
+        for i, arr in enumerate(shingle_hashes):
             if arr is None or len(arr) == 0:
                 out[i] = [0] * num_perm
             else:
+                # xxhash64 longs reinterpreted as uint64 (two's complement view)
                 idxs.append(i)
-                arrs.append(np.asarray(arr, dtype=object))
+                arrs.append(np.asarray(arr, dtype=np.int64).view(np.uint64))
         j = 0
         while j < len(idxs):
             k, tot = j, 0
@@ -138,7 +151,7 @@ def minhash_signature_udf(num_perm: int = 64, seed: int = 42):
                 tot += len(arrs[k])
                 k += 1
             flat = np.concatenate(arrs[j:k])
-            hv = _hash_shingles(flat) % _MERSENNE
+            hv = flat % _MERSENNE
             mh_all = (A[:, None] * hv[None, :] % _MERSENNE + B[:, None]) % _MERSENNE
             offs = np.cumsum([0] + [len(a) for a in arrs[j:k]])[:-1]
             mins = np.minimum.reduceat(mh_all, offs, axis=1).astype(np.int64)
@@ -171,7 +184,7 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signature_udf(num_perm)
-    base = docs.select(F.col(id_col), shingles_col(F.col(text_col), k).alias("sh"))
+    base = docs.select(F.col(id_col), hashed_shingles_col(F.col(text_col), k).alias("sh"))
     with_sig = base.withColumn("sig", sig(F.col("sh")))
 
     band_cols = [
@@ -194,8 +207,14 @@ def minhash_lsh_pairs(
 
     # exact Jaccard for the CANDIDATES only: explode a's shingles against
     # the candidate list, semi-match them into b's shingle set — two hash
-    # joins at candidate scale, never a corpus self-join
-    sh = shingle_rows(docs, id_col, text_col, k)
+    # joins at candidate scale, never a corpus self-join.  Shingles travel
+    # as 64-bit xxhash64 values, not strings: the set-intersection counts
+    # are identical unless two distinct shingles of one doc pair collide
+    # (~2^-64 per pair — accepted on the scale path; ngram_jaccard_pairs
+    # remains the string-exact ground truth).
+    sh = docs.select(
+        F.col(id_col), F.explode(hashed_shingles_col(F.col(text_col), k)).alias("shingle")
+    ).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col(id_col).alias("a"), "shingle")
     shb = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -285,29 +304,53 @@ def simhash_pairs(
     assert SIMHASH_BITS % n_bands == 0
     width = SIMHASH_BITS // n_bands
     mask = F.lit((1 << width) - 1).cast("long")
+
+    # ---- hamming = 0 (identical fingerprints): a plain equi-join on the
+    # fingerprint — NEVER through the banded buckets.  Without this split,
+    # a hot fingerprint (e.g. all no-shingle docs coalescing to simhash 0)
+    # floods every band's bucket and the candidate join goes quadratic ×
+    # n_bands × distinct; here the clique expansion is a single join whose
+    # size is exactly the (unavoidable) output size.
+    ia = fingerprints.select(F.col(id_col).alias("a"), F.col(sim_col).alias("h0"))
+    ib = fingerprints.select(F.col(id_col).alias("b"), F.col(sim_col).alias("h0"))
+    same = (
+        ia.join(ib, "h0")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(0).cast("long").alias("hamming"))
+    )
+
+    # ---- hamming ≥ 1: band the DISTINCT fingerprints only, so duplicate
+    # fingerprints contribute one banded row each regardless of group size;
+    # candidate volume is bounded by distinct-fingerprint collisions.
+    fps = fingerprints.select(F.col(sim_col).alias("fp")).distinct()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col(sim_col), b * width).bitwiseAND(mask).alias("key"),
+            F.shiftright(F.col("fp"), b * width).bitwiseAND(mask).alias("key"),
         )
         for b in range(n_bands)
     ]
-    banded = fingerprints.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    banded = fps.select("fp", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    cand = (
+    fp_cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .filter(F.col("x.fp") < F.col("y.fp"))
+        .select(F.col("x.fp").alias("fa"), F.col("y.fp").alias("fb"))
         .distinct()
-    )
-    fa = fingerprints.select(F.col(id_col).alias("a"), F.col(sim_col).alias("ha"))
-    fb = fingerprints.select(F.col(id_col).alias("b"), F.col(sim_col).alias("hb"))
-    return (
-        cand.join(fa, "a")
-        .join(fb, "b")
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
     )
+    ga = fingerprints.select(F.col(id_col).alias("ida"), F.col(sim_col).alias("fa"))
+    gb = fingerprints.select(F.col(id_col).alias("idb"), F.col(sim_col).alias("fb"))
+    cross = (
+        fp_cand.join(ga, "fa")
+        .join(gb, "fb")
+        .select(
+            F.least("ida", "idb").alias("a"),
+            F.greatest("ida", "idb").alias("b"),
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+    return same.unionByName(cross)
