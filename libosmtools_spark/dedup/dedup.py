@@ -92,7 +92,7 @@ def ngram_jaccard_pairs(
         .groupBy("a", "b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    return (
+    out = (
         inter.withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -101,6 +101,11 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    # materialize the (small: pairs above threshold) result, release the
+    # cached shingle table — no storage growth across repeated calls
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,7 @@ def knn_ring(
     cell_size = 180.0 / (1 << level)
     unresolved = pts
     resolved_parts: list[DataFrame] = []
+    loop_ckpts: list[DataFrame] = []
     radius = 1
 
     for _ in range(max_rounds):
@@ -117,6 +118,7 @@ def knn_ring(
             )
         )
         unresolved = unresolved.join(done_ids, id_col, "left_anti").localCheckpoint()
+        loop_ckpts.append(unresolved)
         radius *= 2
         if unresolved.isEmpty():
             break
@@ -143,6 +145,18 @@ def knn_ring(
             .select(id_col, F.col("n_id").alias("neighbor_id"), "rank")
         )
         out = out.unionByName(fallback)
+    # materialize the (narrow: id, neighbor_id, rank) result once, then
+    # release the cached point tables — repeated calls in a long-lived
+    # session must not accumulate storage (the loop has already paid for
+    # every stage via the per-round isEmpty() evaluations, so this final
+    # pass mostly re-reads cached blocks)
+    out = out.localCheckpoint(eager=True)
+    pts.unpersist()
+    data.unpersist()
+    from libosmtools_spark.session import release_local_checkpoint
+
+    for ck in loop_ckpts:  # per-round unresolved checkpoints are now dead
+        release_local_checkpoint(ck)
     return out
 
 

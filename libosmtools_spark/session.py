@@ -51,3 +51,14 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def release_local_checkpoint(df) -> None:
+    """Free the block storage behind a ``localCheckpoint(eager=True)`` result
+    once the caller is done with it.  Spark exposes no public unpersist for
+    checkpointed Datasets (the blocks are reclaimed only when the JVM GC
+    collects the plan); long-lived sessions issuing many queries should
+    release explicitly instead of waiting for GC."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getName().endswith("LogicalRDD"):
+        plan.rdd().unpersist(False)

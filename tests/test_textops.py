@@ -260,3 +260,51 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestScaleHygiene:
+    def test_simhash_hot_fingerprint_bounded(self, spark):
+        """10k no-shingle docs all coalesce to simhash 0.  The banded join
+        must see each DISTINCT fingerprint once (not 10k × 4 bands rows),
+        and the hamming-0 clique resolves via a plain fingerprint equi-join
+        whose size is the (unavoidable) output itself."""
+        from libosmtools_spark.dedup.dedup import simhash_pairs
+
+        n = 10_000
+        fps = spark.range(n).select(
+            F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("simhash")
+        )
+        pairs = simhash_pairs(fps, max_hamming=3, n_bands=4)
+        # candidate volume through the BANDED path is bounded by distinct
+        # fingerprints (here: 1), so planning+counting finishes fast; the
+        # output is the full clique
+        assert pairs.count() == n * (n - 1) // 2
+        assert pairs.filter(F.col("hamming") != 0).count() == 0
+
+    def test_no_storage_growth_across_calls(self, spark):
+        """knn_ring and ngram_jaccard_pairs release their caches: repeated
+        calls in one session must not accumulate persisted RDDs."""
+        from libosmtools_spark.dedup.dedup import ngram_jaccard_pairs
+        from libosmtools_spark.knn.ring import knn_ring
+
+        docs = spark.read.parquet(f"{TESTDATA}/documents.parquet")
+        pts = docs.select(
+            "doc_id",
+            ((F.col("doc_id") * 9973 % 1700) / 10.0 - 85.0).alias("lat"),
+            ((F.col("doc_id") * 7919 % 3600) / 10.0 - 180.0).alias("lon"),
+        )
+
+        from libosmtools_spark.session import release_local_checkpoint
+
+        def n_cached():
+            jsc = spark.sparkContext._jsc.sc()
+            return jsc.getPersistentRDDs().size()
+
+        base = n_cached()
+        for _ in range(3):
+            for res in (knn_ring(pts, "doc_id", k=3), ngram_jaccard_pairs(docs, threshold=0.5)):
+                res.count()
+                release_local_checkpoint(res)
+            # every intermediate cache/loop-checkpoint is released by the
+            # operators themselves; the result checkpoint via the helper
+            assert n_cached() == base
