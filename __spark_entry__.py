@@ -290,7 +290,7 @@ def _simhash_fp_ctes() -> str:
     """
 
 
-def _ann_lsh_sql(k: int, n_planes: int = 6, n_tables: int = 16, dim: int = 64) -> str:
+def _ann_lsh_sql(k: int, n_planes: int = 10, n_tables: int = 12, dim: int = 64) -> str:
     """Full SQL replica of sim.ann.lsh_topk: the SAME integer hyperplanes
     (sim.ann.lsh_hyperplanes — single definition), integer-exact quantized
     bucket bits (every partial sum an exact double), candidates from bucket
@@ -648,13 +648,13 @@ def q_ann_cosine_blocked(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    # 6 planes × 16 tables: 4× fewer candidate pairs than 4 planes at the
-    # same table count, per-pair miss probability still < 1e-3 for true
-    # neighbors; the oracle (_ann_lsh_sql) replicates the same constants
+    # 10 planes × 12 tables: ~2% of all-pairs candidate volume with recall
+    # ≥ ~0.95 in the near-duplicate regime (cos ≥ 0.9, the retrieval LSH
+    # exists for); the oracle (_ann_lsh_sql) replicates the same constants
     from libosmtools_spark.sim.ann import lsh_topk
 
     emb = _emb(spark, sf_dir)
-    return lsh_topk(emb, k=KNN_K, n_planes=6, n_tables=16).select("vec_id", "neighbor_id", "rank")
+    return lsh_topk(emb, k=KNN_K, n_planes=10, n_tables=12).select("vec_id", "neighbor_id", "rank")
 
 
 def q_mm_features(spark, sf_dir):

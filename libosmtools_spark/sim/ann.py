@@ -251,11 +251,31 @@ def hyperplane_buckets_udf(n_planes: int, n_tables: int, seed: int = 7):
     return buckets
 
 
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    brute_max_rows: int = BRUTE_MAX_ROWS,
+) -> DataFrame:
+    """LSH entry point with the same count-gated dispatch as ann_topk:
+    corpora that fit a broadcast take the exact brute path (strictly better
+    than any approximation at that scale — one matmul, recall 1); larger
+    corpora run hyperplane LSH.  Callers wanting the LSH physical path
+    regardless of scale call lsh_topk directly."""
+    n = embeddings.count()
+    if n <= brute_max_rows:
+        return cosine_topk_brute(embeddings, k, id_col, vec_col, _count_checked=True)
+    return lsh_topk(embeddings, k, n_planes, n_tables, id_col, vec_col)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
-    n_tables: int = 8,
+    n_planes: int = 10,
+    n_tables: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -263,6 +283,14 @@ def lsh_topk(
     ``n_tables`` hyperplane-sign buckets, ranked by exact cosine.  Linear
     candidate generation; recall measured against the exact operator in
     tests.
+
+    Operating regime (sign-LSH's similarity-recall curve): the defaults
+    (10 planes × 12 tables) hold recall ≥ ~0.95 for genuinely NEAR
+    neighbors (cosine ≥ ~0.9 — the near-duplicate retrieval the operator
+    exists for) at ~2% of all-pairs candidate volume on a random corpus;
+    recall for near-orthogonal "top-k" pairs (cosine ~0.4) is intentionally
+    sacrificed — retrieving those needs near-quadratic candidates and is
+    the exact paths' job (ann_topk dispatches there when feasible).
 
     Shuffle diet: the bucket self-join and the (qid, nid) dedup move
     (id, bucket) rows ONLY — full embedding vectors rejoin exactly once,

@@ -156,6 +156,31 @@ class TestANN:
         recall = len(a & b) / len(b)
         assert recall > 0.6, recall  # 16 tables x 16 buckets over 500 vecs
 
+    def test_lsh_near_dup_recall(self, spark):
+        """The production operating point (10 planes x 12 tables): recall
+        >= 0.95 for genuinely NEAR neighbors (planted near-duplicates at
+        cosine ~0.95+), the retrieval regime sign-LSH exists for."""
+        from libosmtools_spark.sim.ann import lsh_topk
+
+        rng = np.random.default_rng(123)
+        base = rng.normal(size=(1000, 64))
+        dups = base[:400] + rng.normal(size=(400, 64)) * 0.15
+        rows = [(int(i), v.tolist()) for i, v in enumerate(np.vstack([base, dups]))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = lsh_topk(emb, k=5, n_planes=10, n_tables=12).toPandas()
+        pairs = set(zip(got["vec_id"], got["neighbor_id"]))
+        found = sum((i, 1000 + i) in pairs for i in range(400))
+        assert found / 400 >= 0.95, found / 400
+
+    def test_ann_lsh_topk_dispatch(self, embeddings):
+        """Count-gated dispatch: a broadcast-scale corpus routes to the
+        exact brute path (recall 1 by construction)."""
+        from libosmtools_spark.sim.ann import ann_lsh_topk, cosine_topk_brute
+
+        got = ann_lsh_topk(embeddings, k=3).toPandas().sort_values(["vec_id", "rank"])
+        want = cosine_topk_brute(embeddings, k=3).toPandas().sort_values(["vec_id", "rank"])
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
 
 class TestMultimodal:
     def test_feature_plumbing(self, spark, sf_smoke):
