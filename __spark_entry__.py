@@ -54,6 +54,7 @@ def _ensure_shipped(spark: SparkSession) -> None:
     _SHIPPED.add(id(spark))
 
 LEVEL = 6
+MAX_LEVEL = 10  # adaptive-index boundary refinement depth (engine default)
 CELL = 180.0 / (1 << LEVEL)  # 2.8125°
 KNN_K = 5
 
@@ -169,11 +170,14 @@ def _engine(spark: SparkSession):
     oracle region store: broadcast rings + cell-coverage index."""
     key = id(spark)
     if key not in _ENGINE_CACHE:
-        from libosmtools_spark.index.grid import build_cell_index, rings_lookup
+        from libosmtools_spark.index.grid import build_adaptive_cell_index, rings_lookup
 
         rings_df = _oracle_region_rings(spark)
         rings_bcast = spark.sparkContext.broadcast(rings_lookup(rings_df.toPandas()))
-        cell_index = build_cell_index(rings_df, LEVEL).cache()
+        # the engine-default ADAPTIVE mixed-level index (boundary cells
+        # refined MAX_LEVEL-LEVEL extra levels) — the oracles below thereby
+        # verify the production index shape, not a simplified flat one
+        cell_index = build_adaptive_cell_index(rings_df, LEVEL, MAX_LEVEL).cache()
         _ENGINE_CACHE[key] = (rings_df, rings_bcast, cell_index)
     return _ENGINE_CACHE[key]
 
@@ -210,7 +214,7 @@ def _doc_cells_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
         _, rings_bcast, cell_index = _engine(spark)
         pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
         _CELLS_CACHE[key] = build_cells_table(
-            pts.select("cell_key"), cell_index, rings_bcast, LEVEL
+            pts.select("cell_key"), cell_index, rings_bcast, LEVEL, MAX_LEVEL
         ).cache()
     return _CELLS_CACHE[key]
 
@@ -386,11 +390,11 @@ def _fixtures_for(sf_dir: str) -> str:
 
 
 def q_pip_region_rows(spark, sf_dir):
-    from libosmtools_spark.joins.spatial import spatial_join, with_cell_key
+    from libosmtools_spark.joins.spatial import spatial_join_adaptive, with_cell_key
 
     _, rings_bcast, cell_index = _engine(spark)
     pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
-    hits = spatial_join(pts, cell_index, rings_bcast, level=LEVEL)
+    hits = spatial_join_adaptive(pts, cell_index, rings_bcast, LEVEL, MAX_LEVEL)
     return hits.select("doc_id", "region_id")
 
 

@@ -19,17 +19,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from libosmtools_spark.geom.columns import cell_center_cols
-from libosmtools_spark.joins.spatial import spatial_join
+from libosmtools_spark.joins.spatial import spatial_join, spatial_join_adaptive
 
 
 def cell_region_sets(
-    cell_keys: DataFrame, cell_index: DataFrame, rings_bcast, level: int = 6
+    cell_keys: DataFrame, cell_index: DataFrame, rings_bcast, level: int = 6,
+    max_level: int | None = None,
 ) -> DataFrame:
     """distinct cell_key → (cell_key, region_ids sorted array): PIP of the
-    cell center against the region store (T4's centroid query)."""
+    cell center against the region store (T4's centroid query).
+
+    ``max_level`` > level means ``cell_index`` is the adaptive mixed-level
+    index (the engine default); the center query then probes ancestor keys
+    per level.  Output is identical either way — the index shape only
+    changes which centers skip the ray-cast."""
     clat, clon = cell_center_cols(F.col("cell_key"))
     centers = cell_keys.select("cell_key").distinct().withColumn("lat", clat).withColumn("lon", clon)
-    hits = spatial_join(centers, cell_index, rings_bcast, level=level)
+    if max_level is not None and max_level > level:
+        hits = spatial_join_adaptive(centers, cell_index, rings_bcast, level, max_level)
+    else:
+        hits = spatial_join(centers, cell_index, rings_bcast, level=level)
     sets = hits.groupBy("cell_key").agg(F.array_sort(F.collect_set("region_id")).alias("region_ids"))
     return (
         centers.select("cell_key")
@@ -58,11 +67,42 @@ def intern_cell_ids(cell_sets: DataFrame) -> DataFrame:
 
 
 def build_cells_table(
-    point_cells: DataFrame, cell_index: DataFrame, rings_bcast, level: int = 6
+    point_cells: DataFrame, cell_index: DataFrame, rings_bcast, level: int = 6,
+    max_level: int | None = None,
 ) -> DataFrame:
     """distinct cells among points → the cells dictionary table
     (cell_key, cell_id, region_ids)."""
-    return intern_cell_ids(cell_region_sets(point_cells, cell_index, rings_bcast, level))
+    return intern_cell_ids(
+        cell_region_sets(point_cells, cell_index, rings_bcast, level, max_level)
+    )
+
+
+def cell_region_sets_map(point_cells: DataFrame, candidates_bcast, rings_bcast) -> DataFrame:
+    """cell_region_sets via the broadcast-store kernel: ONE mapInArrow pass
+    resolves every distinct cell center's region set (identical semantics
+    to the join+PIP plan — same kernel as the zero-shuffle flagship), in
+    place of the explode-join/filter/groupBy/left-join stage pipeline whose
+    fixed overhead dominated at dimension scale."""
+    from libosmtools_spark.joins.mapjoin import map_spatial_join
+
+    clat, clon = cell_center_cols(F.col("cell_key"))
+    centers = (
+        point_cells.select("cell_key").distinct()
+        .select(
+            F.col("cell_key").alias("ck_id"),
+            clat.alias("lat"),
+            clon.alias("lon"),
+            "cell_key",
+        )
+    )
+    res = map_spatial_join(centers, candidates_bcast, rings_bcast, id_col="ck_id")
+    return res.select(F.col("ck_id").alias("cell_key"), "region_ids")
+
+
+def build_cells_table_map(point_cells: DataFrame, candidates_bcast, rings_bcast) -> DataFrame:
+    """build_cells_table on the broadcast-kernel path (engine flagship
+    default) — output identical to the join-based build (parity-tested)."""
+    return intern_cell_ids(cell_region_sets_map(point_cells, candidates_bcast, rings_bcast))
 
 
 def assign_point_cell_ids(points_with_key: DataFrame, cells: DataFrame) -> DataFrame:

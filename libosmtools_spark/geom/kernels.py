@@ -348,7 +348,9 @@ def segment_intersects_rect(y1, x1, y2, x2, min_lat, max_lat, min_lon, max_lon):
     it) vs 'partial' — the definite/candidate split of
     /root/reference/include/osmtools/OsmGridRegionTree.h:110-112.
 
-    Inputs are arrays of segment endpoints; the rect is scalar.
+    Inputs are arrays of segment endpoints; the rect bounds may be scalars
+    or arrays — everything numpy-broadcasts (e.g. segments (s,1) against
+    rects (1,c) for the batched quadtree cover).
     Returns boolean array: True where the segment touches the rect.
     """
     y1 = np.asarray(y1, dtype=np.float64)
@@ -357,9 +359,10 @@ def segment_intersects_rect(y1, x1, y2, x2, min_lat, max_lat, min_lon, max_lon):
     x2 = np.asarray(x2, dtype=np.float64)
     dy = y2 - y1
     dx = x2 - x1
-    t0 = np.zeros_like(y1)
-    t1 = np.ones_like(y1)
-    ok = np.ones(y1.shape, dtype=bool)
+    shape = np.broadcast(y1, x1, np.asarray(min_lat), np.asarray(min_lon)).shape
+    t0 = np.zeros(shape, dtype=np.float64)
+    t1 = np.ones(shape, dtype=np.float64)
+    ok = np.ones(shape, dtype=bool)
     for p, q in (
         (-dx, x1 - min_lon),
         (dx, max_lon - x1),
@@ -467,15 +470,27 @@ def adaptive_covering_cells(outer_rings, inner_rings, base_level: int, max_level
 
     level = base_level
     while level < max_level and partial.size:
-        children = np.concatenate([cell_children(int(k)) for k in partial])
+        # vectorized 2x2 split of every partial cell at once
+        _, iy, ix = unpack_key(partial)
+        dy, dx = np.meshgrid([0, 1], [0, 1], indexing="ij")
+        children = pack_key(
+            level + 1,
+            (iy * 2)[:, None] + dy.ravel()[None, :],
+            (ix * 2)[:, None] + dx.ravel()[None, :],
+        ).ravel()
         clat, clon = cell_center(children)
         center_in = point_in_rings(clat, clon, outer_rings, inner_rings)
         b = cell_bounds(children)
+        # batched segment-vs-rect: (segments × cell-chunk) broadcast, chunked
+        # to bound temporaries (a per-child Python loop dominated the build)
         touched = np.zeros(children.shape, dtype=bool)
-        for i in range(children.size):
-            touched[i] = segment_intersects_rect(
-                seg_y1, seg_x1, seg_y2, seg_x2, b[0][i], b[1][i], b[2][i], b[3][i]
-            ).any()
+        ch = max(1, 4_000_000 // max(len(seg_y1), 1))
+        for i0 in range(0, children.size, ch):
+            sl = slice(i0, min(i0 + ch, children.size))
+            touched[sl] = segment_intersects_rect(
+                seg_y1[:, None], seg_x1[:, None], seg_y2[:, None], seg_x2[:, None],
+                b[0][sl][None, :], b[1][sl][None, :], b[2][sl][None, :], b[3][sl][None, :],
+            ).any(axis=0)
         overlap = center_in | touched
         is_full = center_in & ~touched
         out_keys.append(children[overlap & is_full])

@@ -26,8 +26,22 @@ from libosmtools_spark.geom import kernels as K
 
 
 def build_cell_candidates(cell_index_pdf: pd.DataFrame, rings: dict | None = None) -> dict:
-    """cell_key → (sorted region_id array, full-flag array, clipped-edge
-    list) from the collected cell-coverage index (dimension-scale).
+    """Broadcast-ready per-LEVEL lookup tables from the collected
+    cell-coverage index (dimension-scale; the index may hold mixed-level
+    keys — the adaptive default).
+
+    Returns ``{"n_regions": int, "n_words": int, "levels": {level:
+    (keys_sorted int64[k], full_masks int64[k, n_words], part_payload
+    list[k], has_part bool[k])}}``:
+
+    - ``full_masks[i]`` is the OR of the region bits FULLY covering cell
+      ``keys_sorted[i]`` — the kernel resolves full hits with one batched
+      searchsorted + mask-row OR, NO per-cell Python (a per-cell loop over
+      the adaptive index's thousands of fine cells was pure interpreter
+      overhead — measured 2× the whole flagship);
+    - ``part_payload[i]`` lists ``(region_id, clipped_edges|None)`` for
+      boundary (partial) candidates — the only per-cell work left, on a
+      thin point-sparse minority of cells.
 
     When ``rings`` (region_id → (outers, inners)) is given, each partial
     candidate's boundary is PRE-CLIPPED to the cell (kernels.
@@ -35,22 +49,53 @@ def build_cell_candidates(cell_index_pdf: pd.DataFrame, rings: dict | None = Non
     the cell, which is where the ray-cast cost goes.  Parity over the
     combined outer+inner edge set is the even-odd rule — equivalent to
     inside(outer) ∧ ¬inside(hole) for nested holes (the region model)."""
-    out: dict[int, tuple[np.ndarray, np.ndarray, list]] = {}
-    for key, grp in cell_index_pdf.groupby("cell_key"):
-        order = np.argsort(grp["region_id"].to_numpy())
-        rids = grp["region_id"].to_numpy()[order].astype(np.int64)
-        full = grp["full"].to_numpy()[order].astype(bool)
-        clipped: list = [None] * len(rids)
-        if rings is not None:
-            min_lat, max_lat, min_lon, _ = K.cell_bounds(np.int64(key))
-            for i, (rid, is_full) in enumerate(zip(rids, full)):
-                if is_full:
-                    continue
-                outers, inners = rings[int(rid)]
-                edges = np.vstack([K.ring_edges(r) for r in list(outers) + list(inners)])
-                clipped[i] = K.clip_edges_for_cell(edges, float(min_lat), float(max_lat), float(min_lon))
-        out[int(key)] = (rids, full, clipped)
-    return out
+    ck = cell_index_pdf["cell_key"].to_numpy(dtype=np.int64)
+    rid = cell_index_pdf["region_id"].to_numpy(dtype=np.int64)
+    full = cell_index_pdf["full"].to_numpy(dtype=bool)
+    n_regions = int(rid.max()) + 1 if len(rid) else 0
+    n_words = max(1, (n_regions + 62) // 63)
+    word = rid // 63
+    bit_val = np.int64(1) << (rid % 63).astype(np.int64)
+
+    region_edges: dict[int, np.ndarray] = {}  # stacked once per REGION, not per cell
+
+    levels: dict[int, tuple] = {}
+    lv_of = ck >> K._LEVEL_SHIFT
+    for lv in np.unique(lv_of):
+        m = lv_of == lv
+        keys_lv = ck[m]
+        order = np.argsort(keys_lv, kind="stable")
+        skeys = keys_lv[order]
+        srid = rid[m][order]
+        sfull = full[m][order]
+        sword = word[m][order]
+        sbit = bit_val[m][order]
+        uniq, starts = np.unique(skeys, return_index=True)
+        grp_idx = np.searchsorted(uniq, skeys)  # row → unique-cell index
+        full_masks = np.zeros((len(uniq), n_words), dtype=np.int64)
+        frows = np.flatnonzero(sfull)
+        np.bitwise_or.at(full_masks, (grp_idx[frows], sword[frows]), sbit[frows])
+        part_payload: list = [None] * len(uniq)
+        has_part = np.zeros(len(uniq), dtype=bool)
+        for row in np.flatnonzero(~sfull):
+            g = grp_idx[row]
+            r = int(srid[row])
+            cl = None
+            if rings is not None:
+                edges = region_edges.get(r)
+                if edges is None:
+                    outers, inners = rings[r]
+                    edges = region_edges[r] = np.vstack(
+                        [K.ring_edges(rr) for rr in list(outers) + list(inners)]
+                    )
+                min_lat, max_lat, min_lon, _ = K.cell_bounds(np.int64(uniq[g]))
+                cl = K.clip_edges_for_cell(edges, float(min_lat), float(max_lat), float(min_lon))
+            if part_payload[g] is None:
+                part_payload[g] = []
+            part_payload[g].append((r, cl))
+            has_part[g] = True
+        levels[int(lv)] = (uniq, full_masks, part_payload, has_part)
+    return {"n_regions": n_regions, "n_words": n_words, "levels": levels}
 
 
 #: the single-long bitmask path needs global region ids ≤ MASK_MAX_REGION;
@@ -77,10 +122,7 @@ def map_spatial_join(
     assembly doubled CPU time at high thread counts from memory stalls).
     Masks are decoded to sorted region-id arrays JVM-side."""
     if n_regions is None:
-        n_regions = 1 + max(
-            (int(r) for rids, _, _ in candidates_bcast.value.values() for r in rids),
-            default=0,
-        )
+        n_regions = candidates_bcast.value["n_regions"]
     n_words = max(1, (n_regions + 62) // 63)
     id_type = dict(points.dtypes)[id_col]
     # mask words as FLAT int64 columns (m0, m1, …): each is a plain numpy
@@ -89,16 +131,19 @@ def map_spatial_join(
     word_cols = ", ".join(f"m{w} long" for w in range(n_words))
     schema = f"{id_col} {id_type}, cell_key long, {word_cols}"
 
-    # sorted candidate-cell key array for vectorized membership tests —
-    # at planet scale most cells (ocean) have no regions; looping over
-    # them in Python would dominate sparse batches
-    cand_keys_sorted = np.array(sorted(candidates_bcast.value.keys()), dtype=np.int64)
+    # The index may hold MIXED-LEVEL keys (the adaptive default): the
+    # kernel probes the point's key at each level present in the index —
+    # a region's coverage cells partition its area across levels, so each
+    # (point, region) pair resolves at most once.  The per-level tables
+    # arrive prebuilt from the driver (build_cell_candidates) so every
+    # worker process consumes them zero-prep.
+    index_levels = sorted(candidates_bcast.value["levels"].keys())
 
     def run(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        cands = candidates_bcast.value
+        tabs = candidates_bcast.value["levels"]
         rings = rings_bcast.value
         nan = pa.scalar(float("nan"), type=pa.float64())
         for batch in batches:
@@ -122,41 +167,45 @@ def map_spatial_join(
             keys = np.asarray(batch.column("cell_key").to_numpy(), dtype=np.int64)
             masks = np.zeros((n, n_words), dtype=np.int64)
             valid = keys >= 0
-            vkeys = keys[valid]
             vidx = np.flatnonzero(valid)
-            # sort the batch by cell key ONCE; each cell is then a
-            # contiguous slice (no per-cell O(n) boolean scans)
-            order = np.argsort(vkeys, kind="stable")
-            skeys = vkeys[order]
-            sidx = vidx[order]
-            uniq, starts = np.unique(skeys, return_index=True)
-            ends = np.append(starts[1:], len(skeys))
-            # vectorized: keep only cells that actually have candidates
-            if len(cand_keys_sorted):
-                pos = np.searchsorted(cand_keys_sorted, uniq)
-                pos[pos >= len(cand_keys_sorted)] = len(cand_keys_sorted) - 1
-                has_cand = cand_keys_sorted[pos] == uniq
-            else:
-                has_cand = np.zeros(len(uniq), dtype=bool)
-            for u in np.flatnonzero(has_cand):
-                sel = sidx[starts[u] : ends[u]]
-                cand = cands.get(int(uniq[u]))
-                if cand is None:
+            la_v = la[vidx]
+            lo_v = lo[vidx]
+            for lv in index_levels:
+                lkeys, full_masks, part_payload, has_part = tabs[lv]
+                if not len(lkeys):
                     continue
-                rids, full, clipped = cand
-                la_sel = la[sel]  # copy once per cell, not per region
-                lo_sel = lo[sel]
-                for i, (rid, is_full) in enumerate(zip(rids, full)):
-                    word, bit = divmod(int(rid), 63)
-                    if is_full:
-                        masks[sel, word] |= np.int64(1) << np.int64(bit)
-                        continue
-                    if clipped[i] is not None:
-                        hit = K.point_in_edges(la_sel, lo_sel, clipped[i])
-                    else:
-                        outers, inners = rings[int(rid)]
-                        hit = K.point_in_rings(la_sel, lo_sel, outers, inners)
-                    masks[sel[hit], word] |= np.int64(1) << np.int64(bit)
+                # key at this probe level by pure arithmetic from lat/lon
+                pkeys = K.cell_key(la_v, lo_v, lv) if len(la_v) else np.empty(0, np.int64)
+                pos = np.searchsorted(lkeys, pkeys)
+                pos[pos >= len(lkeys)] = len(lkeys) - 1
+                hit = lkeys[pos] == pkeys
+                hidx = vidx[hit]          # batch row of each matched point
+                hpos = pos[hit]           # index-table row it matched
+                # ---- FULL hits: one vectorized OR per mask word
+                for w in range(n_words):
+                    masks[hidx, w] |= full_masks[hpos, w]
+                # ---- PARTIAL cells: per-cell ray-cast (boundary-only)
+                pm = has_part[hpos]
+                if pm.any():
+                    p_idx = hidx[pm]
+                    p_pos = hpos[pm]
+                    order = np.argsort(p_pos, kind="stable")
+                    sp = p_pos[order]
+                    si = p_idx[order]
+                    uniq, starts = np.unique(sp, return_index=True)
+                    ends = np.append(starts[1:], len(sp))
+                    for u, s, e in zip(uniq, starts, ends):
+                        sel = si[s:e]
+                        la_sel = la[sel]  # copy once per cell, not per region
+                        lo_sel = lo[sel]
+                        for rid, cl in part_payload[u]:
+                            word, bit = divmod(rid, 63)
+                            if cl is not None:
+                                hits_ = K.point_in_edges(la_sel, lo_sel, cl)
+                            else:
+                                outers, inners = rings[rid]
+                                hits_ = K.point_in_rings(la_sel, lo_sel, outers, inners)
+                            masks[sel[hits_], word] |= np.int64(1) << np.int64(bit)
             arrays = [batch.column(id_col), batch.column("cell_key")]
             names = [id_col, "cell_key"]
             for w in range(n_words):

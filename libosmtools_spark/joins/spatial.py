@@ -151,18 +151,59 @@ def spatial_join_adaptive(
     lat: str = "lat",
     lon: str = "lon",
 ) -> DataFrame:
-    """spatial_join against a mixed-level index: points carry one key per
-    level (with_ancestor_keys) and equi-join the broadcast index; since a
-    region's coverage cells partition its area across levels, each (point,
-    region) pair matches at most once.  Definite hits skip geometry; the
-    rest ray-cast."""
-    pts = with_ancestor_keys(points, base_level, max_level, lat, lon)
-    joined = pts.join(F.broadcast(adaptive_index), "cell_key", "inner")
+    """spatial_join against a mixed-level index: points carry one PROBE key
+    per level (with_ancestor_keys into ``_probe_key`` — any pre-existing
+    ``cell_key`` column, e.g. the level-base dictionary key of the output
+    contract, passes through untouched) and equi-join the broadcast index;
+    since a region's coverage cells partition its area across levels, each
+    (point, region) pair matches at most once.  Definite hits skip
+    geometry; the rest ray-cast against boundary edges of a much finer
+    cell than the flat index would give."""
+    pts = with_ancestor_keys(points, base_level, max_level, lat, lon, out="_probe_key")
+    idx = adaptive_index.select(
+        F.col("cell_key").alias("_probe_key"), "region_id", "full"
+    )
+    joined = pts.join(F.broadcast(idx), "_probe_key", "inner").drop("_probe_key")
     definite = joined.filter(F.col("full")).drop("full")
     candidate = joined.filter(~F.col("full")).drop("full")
     pip = make_pip_udf(rings_bcast)
     refined = candidate.filter(pip(F.col(lat), F.col(lon), F.col("region_id")))
     return definite.unionByName(refined)
+
+
+def spatial_join_adaptive_left(
+    points: DataFrame,
+    adaptive_index: DataFrame,
+    rings_bcast,
+    base_level: int,
+    max_level: int,
+    lat: str = "lat",
+    lon: str = "lon",
+) -> DataFrame:
+    """Left-outer adaptive variant (the one-shuffle flagship's join): every
+    point survives with at least one row; failed/absent candidates carry
+    region_id NULL.  To keep the downstream groupBy(point key) shuffle at
+    ~1× the point count (not ×n_levels), non-matching probe rows are
+    dropped EXCEPT each point's base-level row, which is kept as the
+    guaranteed survivor."""
+    probe_arr = F.array(*[cell_key_col(F.col(lat), F.col(lon), lv)
+                          for lv in range(base_level, max_level + 1)])
+    pts = points.select(
+        "*", F.posexplode(probe_arr).alias("_probe_pos", "_probe_key")
+    ).withColumn("_is_base", F.col("_probe_pos") == 0).drop("_probe_pos")
+    idx = adaptive_index.select(
+        F.col("cell_key").alias("_probe_key"), "region_id", "full"
+    )
+    joined = pts.join(F.broadcast(idx), "_probe_key", "left")
+    pip = make_pip_udf(rings_bcast)
+    matched = F.col("region_id").isNotNull() & (
+        F.col("full") | pip(F.col(lat), F.col(lon), F.col("region_id"))
+    )
+    return (
+        joined.withColumn("region_id", F.when(matched, F.col("region_id")))
+        .filter(F.col("region_id").isNotNull() | F.col("_is_base"))
+        .drop("full", "_probe_key", "_is_base")
+    )
 
 
 def page_region_sets(page_hits: DataFrame, pages: DataFrame) -> DataFrame:

@@ -12,17 +12,30 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from libosmtools_spark.cells.assign import assign_point_cell_ids, build_cells_table
-from libosmtools_spark.index.grid import build_cell_index, rings_lookup
+from libosmtools_spark.cells.assign import (
+    assign_point_cell_ids,
+    build_cells_table,
+    build_cells_table_map,
+)
+from libosmtools_spark.index.grid import build_adaptive_cell_index, rings_lookup
 from libosmtools_spark.joins.spatial import (
     geocode_pages,
     page_region_sets,
-    spatial_join,
-    spatial_join_left,
+    spatial_join_adaptive,
+    spatial_join_adaptive_left,
     with_cell_key,
 )
 
 DEFAULT_LEVEL = 6
+#: levels of recursive boundary refinement below the base grid — the
+#: engine DEFAULT is the adaptive multi-level index (the reference's whole
+#: point is quadtree refinement while cells exceed a size bound,
+#: FixedSizeDiagRefiner /root/reference/src/OsmGridRegionTree.cpp:13-30):
+#: boundary cells subdivide until max_level, so nearly all points resolve
+#: as definite (no ray-cast) and the rest ray-cast against edges clipped
+#: to a 16x finer cell.  Index size stays boundary-linear.  max_level ==
+#: level degenerates to the flat single-level index (the round-1/2 shape).
+DEFAULT_REFINE_LEVELS = 4
 
 
 class SpatialEngine:
@@ -30,13 +43,20 @@ class SpatialEngine:
     OsmGridRegionTree + OsmTriangulationRegionStore pair) for a region store.
     """
 
-    def __init__(self, spark: SparkSession, region_rings: DataFrame, level: int = DEFAULT_LEVEL):
+    def __init__(
+        self,
+        spark: SparkSession,
+        region_rings: DataFrame,
+        level: int = DEFAULT_LEVEL,
+        max_level: int | None = None,
+    ):
         self.spark = spark
         self.level = level
+        self.max_level = level + DEFAULT_REFINE_LEVELS if max_level is None else max_level
         self.region_rings = region_rings
         # dimension-scale: collect rings once, broadcast to every executor
         self.rings_bcast = spark.sparkContext.broadcast(rings_lookup(region_rings.toPandas()))
-        self.cell_index = build_cell_index(region_rings, level).cache()
+        self.cell_index = build_adaptive_cell_index(region_rings, level, self.max_level).cache()
         self._candidates_bcast = None
 
     @property
@@ -65,21 +85,25 @@ class SpatialEngine:
         """(url, region_ids sorted array) for every page — join-output parity
         target (BASELINE.json north_star)."""
         pts = self.page_points(pages).select("url", "lat", "lon", "cell_key")
-        hits = spatial_join(pts, self.cell_index, self.rings_bcast, level=self.level)
+        hits = spatial_join_adaptive(
+            pts, self.cell_index, self.rings_bcast, self.level, self.max_level
+        )
         return page_region_sets(hits.select("url", "region_id"), pages)
 
     def page_region_rows(self, pages: DataFrame) -> DataFrame:
         """Exploded (url, region_id) rows — the raw join output."""
         pts = self.page_points(pages).select("url", "lat", "lon", "cell_key")
-        return spatial_join(pts, self.cell_index, self.rings_bcast, level=self.level).select(
-            "url", "region_id"
-        )
+        return spatial_join_adaptive(
+            pts, self.cell_index, self.rings_bcast, self.level, self.max_level
+        ).select("url", "region_id")
 
     def cells(self, pages: DataFrame) -> DataFrame:
         """(cell_key, cell_id, region_ids) dictionary over the cells the
         pages occupy (T4)."""
         pts = self.page_points(pages).select("cell_key")
-        return build_cells_table(pts, self.cell_index, self.rings_bcast, self.level)
+        return build_cells_table(
+            pts, self.cell_index, self.rings_bcast, self.level, self.max_level
+        )
 
     def page_cells(self, pages: DataFrame) -> DataFrame:
         """(url, cell_key, cell_id) — tile-to-cell assignment per url."""
@@ -97,7 +121,9 @@ class SpatialEngine:
 
         pts = self.page_points(pages).select("url", "lat", "lon", "cell_key")
         res = map_spatial_join(pts, self.candidates_bcast, self.rings_bcast)
-        cells = build_cells_table(pts.select("cell_key"), self.cell_index, self.rings_bcast, self.level)
+        cells = build_cells_table_map(
+            pts.select("cell_key"), self.candidates_bcast, self.rings_bcast
+        )
         out = res.join(F.broadcast(cells.select("cell_key", "cell_id")), "cell_key", "left")
         return out.select(
             "url",
@@ -113,14 +139,20 @@ class SpatialEngine:
         candidates become NULL), then a single groupBy(url) builds the
         region set AND carries cell_key — no page×page join anywhere.  The
         cells dictionary is dimension-scale and broadcast.  Total cost at
-        scale: one broadcast join + one shuffle on url."""
+        scale: one broadcast join + one shuffle on url (the adaptive left
+        join keeps the shuffle at ~1× the page count: non-matching probe
+        rows are dropped except each page's guaranteed base-level row)."""
         pts = self.page_points(pages).select("url", "lat", "lon", "cell_key")
-        hits = spatial_join_left(pts, self.cell_index, self.rings_bcast, level=self.level)
+        hits = spatial_join_adaptive_left(
+            pts, self.cell_index, self.rings_bcast, self.level, self.max_level
+        )
         agg = hits.groupBy("url").agg(
             F.first("cell_key").alias("cell_key"),
             F.array_sort(F.collect_set("region_id")).alias("region_ids"),
         )
-        cells = build_cells_table(pts.select("cell_key"), self.cell_index, self.rings_bcast, self.level)
+        cells = build_cells_table_map(
+            pts.select("cell_key"), self.candidates_bcast, self.rings_bcast
+        )
         out = agg.join(F.broadcast(cells.select("cell_key", "cell_id")), "cell_key", "left")
         return out.select(
             "url",

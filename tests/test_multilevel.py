@@ -55,7 +55,7 @@ class TestAdaptiveJoin:
         from libosmtools_spark.joins.spatial import spatial_join_adaptive
         from libosmtools_spark.pipeline import SpatialEngine
 
-        eng = SpatialEngine.from_fixtures(spark, sf_smoke)  # flat, level 6
+        eng = SpatialEngine.from_fixtures(spark, sf_smoke)  # adaptive default 6..10
         pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).limit(800)
         pts = eng.page_points(pages).select("url", "lat", "lon")
 

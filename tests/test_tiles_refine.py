@@ -179,7 +179,8 @@ class TestRefine:
             moved,
             cells,
             rebuild=lambda: build_cells_table(
-                moved.select("cell_key"), engine.cell_index, engine.rings_bcast, engine.level
+                moved.select("cell_key"), engine.cell_index, engine.rings_bcast,
+                engine.level, engine.max_level,
             ),
         )
         assert rebuilt2
