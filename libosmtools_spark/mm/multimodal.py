@@ -41,12 +41,45 @@ FEATURE_SCHEMA = (
 )
 
 
-def real_decode(payload: bytes, mime: str):
-    """The production decoder slot.  Not available in this container."""
+def _pil():
+    """Lazy optional-dependency probe (Pillow is not in this container;
+    cluster images that ship it get the real path automatically).  A
+    function, not an import-time flag, so tests can exercise both branches
+    by monkeypatching."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+def real_decode(payload: bytes, mime: str) -> np.ndarray:
+    """The production decoder slot: with Pillow installed, decodes image
+    payloads to a grayscale uint8 array; otherwise raises DecodeUnavailable
+    (callers fall back to the documented deterministic stub)."""
+    Image = _pil()
+    if Image is not None and (mime or "").startswith("image/"):
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.uint8)
     raise DecodeUnavailable(
         "image/audio codecs are not installed in this environment; "
-        "plug a decoder (PIL/torchaudio/ffmpeg) here on a real cluster"
+        "install Pillow (images) / torchaudio / ffmpeg on the cluster image "
+        "for the real path — the deterministic stub keeps the pipeline "
+        "shape-testable without them"
     )
+
+
+def real_decode_features(payload: bytes, mime: str) -> np.ndarray:
+    """real_decode → the same 8-float feature contract as _decode_stub:
+    luma histogram over 8 equal bins, L1-normalized (deterministic for a
+    given decoded plane)."""
+    plane = real_decode(payload, mime)
+    hist, _ = np.histogram(plane, bins=8, range=(0, 256))
+    total = max(int(hist.sum()), 1)
+    return (hist / np.float64(total)).astype(np.float32)
 
 
 def _decode_stub(payload: bytes) -> np.ndarray:
@@ -60,12 +93,14 @@ def _decode_stub(payload: bytes) -> np.ndarray:
 def extract_features(media: DataFrame, use_stub: bool = True) -> DataFrame:
     """binary payloads → per-item feature rows via mapInPandas (Arrow
     batches; one partition per task — the shape the real decoder needs:
-    batch-local, no driver involvement)."""
+    batch-local, no driver involvement).  ``use_stub=False`` takes the
+    real-decoder slot (Pillow if installed, else rows come back ok=False
+    via DecodeUnavailable)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, ok, nb, digests = [], [], [], []
-            for payload in pdf["payload"]:
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
                 if payload is None:
                     feats.append(None)
                     ok.append(False)
@@ -76,7 +111,7 @@ def extract_features(media: DataFrame, use_stub: bool = True) -> DataFrame:
                 nb.append(len(b))
                 digests.append(hashlib.sha256(b).hexdigest())
                 try:
-                    vec = _decode_stub(b) if use_stub else real_decode(b, "application/octet-stream")
+                    vec = _decode_stub(b) if use_stub else real_decode_features(b, mime)
                     feats.append([float(x) for x in vec])
                     ok.append(True)
                 except DecodeUnavailable:

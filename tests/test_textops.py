@@ -200,10 +200,49 @@ class TestMultimodal:
         assert (m["sha256"] == m2["sha256"]).all()
 
     def test_real_decoder_raises(self):
+        from libosmtools_spark import mm
         from libosmtools_spark.mm.multimodal import DecodeUnavailable, real_decode
 
-        with pytest.raises(DecodeUnavailable):
-            real_decode(b"xx", "image/png")
+        if mm.multimodal._pil() is None:  # this container: no Pillow
+            with pytest.raises(DecodeUnavailable):
+                real_decode(b"xx", "image/png")
+        else:  # a cluster image with codecs: the real path decodes
+            import io
+
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+            assert real_decode(buf.getvalue(), "image/png").shape == (4, 4)
+
+    def test_real_decoder_with_fake_pil(self, monkeypatch):
+        """The Pillow-present branch, driven by a monkeypatched decoder —
+        exercises real_decode_features' histogram contract without codecs
+        in the container."""
+        import numpy as np
+
+        from libosmtools_spark.mm import multimodal as M
+
+        class _FakeImg:
+            def convert(self, mode):
+                return self
+
+            def __array__(self, dtype=None):
+                return np.zeros((4, 4), dtype=dtype or np.uint8)
+
+        class _FakeImage:
+            @staticmethod
+            def open(fp):
+                return _FakeImg()
+
+        monkeypatch.setattr(M, "_pil", lambda: _FakeImage)
+        feat = M.real_decode_features(b"xxxx", "image/png")
+        assert feat.shape == (8,) and feat.dtype == np.float32
+        assert feat[0] == 1.0 and feat[1:].sum() == 0.0  # all-zero plane -> bin 0
+
+        # non-image mime still refuses even with the decoder present
+        with pytest.raises(M.DecodeUnavailable):
+            M.real_decode(b"xx", "audio/wav")
 
     def test_resize_plumbing(self, spark, sf_smoke):
         from libosmtools_spark.mm.multimodal import pages_html_media, resize_media
