@@ -131,6 +131,69 @@ def bench_queries(spark, fixtures: str) -> dict[str, float]:
     return out
 
 
+def skew_probe(spark, fixtures: str, max_points: int = 8000) -> dict:
+    """The T6 bounded-cell contract, measured: per-cell quadratic geometry
+    (cell_diameter) on the fixture's planted hotspot (~33% of all pages in
+    ONE level-6 cell → that cell's n² work serializes on one task), before
+    vs after cells/refine.refine_oversized subdivides oversized cells.
+    The 'after' timer INCLUDES the refinement itself — it's the honest
+    end-to-end cost of routing through the skew machinery."""
+    from libosmtools_spark.cells.refine import refine_oversized
+    from libosmtools_spark.joins.spatial import geocode_pages, with_cell_key
+    from libosmtools_spark.tiles.materialize import cell_diameter
+
+    from pyspark.sql import functions as F
+
+    pages = load_pages(spark, fixtures)
+    # the points table is cached (any real pipeline materializes it
+    # upstream) so the timers measure the per-cell operator, not the
+    # geocode lineage; min-of-2 alternating per the shared-VM methodology
+    pts = with_cell_key(geocode_pages(pages)).select("lat", "lon", "cell_key").cache()
+    pts.count()
+
+    def work_stats(df):
+        """(max cell size, Σ n² over cells) — Σn² is the pairwise work a
+        per-cell quadratic operator does; deterministic, so it evidences
+        the bounded-cell contract independent of shared-VM wall noise."""
+        row = (
+            df.groupBy("cell_key").agg(F.count("*").alias("n"))
+            .agg(
+                F.max("n").alias("max_n"),
+                F.sum(F.col("n").cast("double") * F.col("n").cast("double")).alias("w"),
+            )
+            .collect()[0]
+        )
+        return int(row["max_n"]), float(row["w"])
+
+    before = after = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        cell_diameter(pts).agg(F.max("n")).collect()
+        dt = time.monotonic() - t0
+        before = dt if before is None else min(before, dt)
+        # the 'after' timer INCLUDES the refinement itself — the honest
+        # end-to-end cost of routing through the T6 skew machinery
+        t0 = time.monotonic()
+        refined = refine_oversized(pts, max_points=max_points)
+        cell_diameter(refined).agg(F.max("n")).collect()
+        dt = time.monotonic() - t0
+        after = dt if after is None else min(after, dt)
+    max_before, work_before = work_stats(pts)
+    refined = refine_oversized(pts, max_points=max_points)
+    max_after, work_after = work_stats(refined)
+    pts.unpersist()
+    return {
+        "before_sec": round(before, 3),
+        "after_sec": round(after, 3),
+        "max_cell_before": max_before,
+        "max_cell_after": max_after,
+        "pair_work_before": work_before,
+        "pair_work_after": work_after,
+        "work_ratio": round(work_before / max(work_after, 1.0), 2),
+        "max_points": max_points,
+    }
+
+
 def main() -> None:
     from libosmtools_spark.data.synth import ensure_fixtures
 
@@ -151,6 +214,7 @@ def main() -> None:
 
     queries = {"flagship": round(flagship_sec, 3)}
     queries.update(bench_queries(spark, fixtures))
+    skew = skew_probe(spark, fixtures)
     spark.stop()
 
     result = {
@@ -161,6 +225,7 @@ def main() -> None:
         "sf": SF,
         "n_pages": n_pages,
         "cpus": CPUS,
+        "skew": skew,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":

@@ -198,28 +198,64 @@ def refine_oversized(
 ) -> DataFrame:
     """points(…, lat, lon, cell_key) → same rows with cell_key subdivided
     wherever a cell exceeded ``max_points`` (CellTriangleCountCriteria
-    contract, /root/reference/src/CellCriteria.cpp:24-26)."""
-    df = points
-    for _ in range(max_rounds):
-        counts = df.groupBy(key_col).agg(F.count("*").alias("n"))
-        hot = counts.filter(
-            (F.col("n") > max_points)
-            & (F.shiftright(F.col(key_col), _LEVEL_SHIFT) < max_level)
-        ).select(key_col)
-        if hot.isEmpty():
-            break
-        hot = F.broadcast(hot.withColumn("_hot", F.lit(True)))
-        df = df.join(hot, key_col, "left")
-        # level of a hot cell's key + 1 applies per-row; levels can differ
-        # across rows after several rounds, so recompute from the key itself
-        lvl = F.shiftright(F.col(key_col), _LEVEL_SHIFT)
-        new_keys = [
-            F.when(
-                F.col("_hot").isNotNull() & (lvl == level),
-                cell_key_col(F.col(lat), F.col(lon), level + 1),
-            )
-            for level in range(0, max_level)
-        ]
-        expr = F.coalesce(*new_keys, F.col(key_col))
-        df = df.withColumn(key_col, expr).drop("_hot").localCheckpoint()
-    return df
+    contract, /root/reference/src/CellCriteria.cpp:24-26) — quadtree
+    semantics: a cell splits iff its count exceeds the bound, recursively,
+    until bounded or ``max_level``.
+
+    SINGLE-PASS plan (the iterative per-round loop cost more than the skew
+    it cures: each round was a full aggregation + checkpoint job):
+
+    1. one aggregation over (level, key-at-level) for every candidate
+       level computes every cell count the recursion could ever consult
+       (a child's count doesn't depend on whether its parent split, so
+       all split decisions are determined by these unconditional counts);
+    2. the HOT set (count > max_points) collects to the driver — it is the
+       skew TAIL, dimension-scale by the operator's own contract;
+    3. each row's final key is the first level ≥ its own whose cell is not
+       hot (or the cap) — a pure literal-isin expression, no loop, no
+       shuffle, no checkpoint.
+
+    ``max_rounds`` caps the refinement depth below ``max_level`` (the
+    reference's loop bound, OsmTriangulationRegionStore.h:513)."""
+    lvl0 = F.shiftright(F.col(key_col), _LEVEL_SHIFT)
+    # one pass: per-point keys at every candidate level (filtered to
+    # L >= the row's own level), partial-aggregated into (level, key) counts
+    probe_levels = list(range(0, max_level))  # split decisions stop at max_level-1
+    lv_struct = F.array(*[
+        F.struct(F.lit(L).alias("L"), cell_key_col(F.col(lat), F.col(lon), L).alias("k"))
+        for L in probe_levels
+    ])
+    exploded = (
+        points.select(lvl0.alias("_lvl0"), F.explode(lv_struct).alias("s"))
+        .filter((F.col("s.L") >= F.col("_lvl0")) & (F.col("s.L") < F.col("_lvl0") + max_rounds))
+        .select(F.col("s.L").alias("L"), F.col("s.k").alias("k"))
+    )
+    hot_rows = (
+        exploded.groupBy("L", "k")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_points)
+        .collect()
+    )
+    if not hot_rows:
+        return points
+    hot_by_level: dict[int, set] = {}
+    for r in hot_rows:
+        hot_by_level.setdefault(int(r["L"]), set()).add(int(r["k"]))
+    cap = min(max(hot_by_level) + 1, max_level)
+
+    # first non-hot level ≥ the row's own level (rows at/below no hot chain
+    # keep their key via the final coalesce fallback)
+    branches = []
+    for L in range(0, cap + 1):
+        key_l = cell_key_col(F.col(lat), F.col(lon), L)
+        not_hot = (
+            ~key_l.isin(list(hot_by_level[L])) if L in hot_by_level else F.lit(True)
+        )
+        cond = (F.col("_l0") <= L) & (F.lit(L == cap) | not_hot)
+        branches.append(F.when(cond, key_l))
+    expr = F.coalesce(*branches, F.col(key_col))
+    return (
+        points.withColumn("_l0", lvl0)
+        .withColumn(key_col, expr)
+        .drop("_l0")
+    )

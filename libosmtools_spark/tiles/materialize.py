@@ -152,3 +152,52 @@ def cell_centers(cells: DataFrame) -> DataFrame:
     """cell midpoints (T3 analog) as columns."""
     clat, clon = cell_center_cols(F.col("cell_key"))
     return cells.select("cell_key", clat.alias("center_lat"), clon.alias("center_lon"))
+
+
+def cell_diameter(point_cells_latlon: DataFrame) -> DataFrame:
+    """(cell_key, n, diam2): exact per-cell point-set diameter (max squared
+    euclidean degrees, the kNN metric) via chunked pairwise numpy.
+
+    Deliberately QUADRATIC per cell — the class of per-cell geometry the
+    reference bounds cell sizes for (refineCells,
+    /root/reference/src/OsmTriangulationRegionStore.cpp:593-759): on a
+    skewed corpus one hot cell holds ~a third of all points and its
+    n² work serializes onto one task; after cells/refine.refine_oversized
+    the same computation is bounded per cell and spreads across the
+    cluster.  bench.py measures exactly that before/after."""
+    import numpy as np
+    import pandas as pd
+
+    # group by hash BUCKETS of cells, not per cell: one Arrow round-trip
+    # per bucket with numpy sort-grouping inside (per-group applyInPandas
+    # overhead at ~8k cells dwarfed the actual geometry), while each cell
+    # still lands wholly in one task — the skew exposure is unchanged.
+    n_buckets = 256
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["cell_key"].to_numpy(dtype=np.int64)
+        la = pdf["lat"].to_numpy(dtype=np.float64)
+        lo = pdf["lon"].to_numpy(dtype=np.float64)
+        order = np.argsort(keys, kind="stable")
+        keys, la, lo = keys[order], la[order], lo[order]
+        uniq, starts = np.unique(keys, return_index=True)
+        ends = np.append(starts[1:], len(keys))
+        ns, diams = np.empty(len(uniq), dtype=np.int64), np.empty(len(uniq))
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            cla, clo = la[s:e], lo[s:e]
+            n = e - s
+            best = 0.0
+            chunk = max(1, 4_000_000 // max(n, 1))
+            for i0 in range(0, n, chunk):
+                sl = slice(i0, i0 + chunk)
+                d2 = (cla[sl, None] - cla[None, :]) ** 2 + (clo[sl, None] - clo[None, :]) ** 2
+                best = max(best, float(d2.max()))
+            ns[i], diams[i] = n, best
+        return pd.DataFrame({"cell_key": uniq, "n": ns, "diam2": diams})
+
+    return (
+        point_cells_latlon.filter(F.col("cell_key").isNotNull())
+        .withColumn("_bkt", F.pmod(F.xxhash64("cell_key"), F.lit(n_buckets)))
+        .groupBy("_bkt")
+        .applyInPandas(per_bucket, "cell_key long, n long, diam2 double")
+    )

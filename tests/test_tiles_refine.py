@@ -207,3 +207,45 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestCellDiameter:
+    def test_diameter_exact(self, spark):
+        from libosmtools_spark.tiles.materialize import cell_diameter
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, 0.0, 0.0), (1, 3.0, 4.0), (1, 1.0, 1.0), (2, 5.0, 5.0), (None, 0.0, 0.0)],
+            "cell_key long, lat double, lon double",
+        )
+        out = {r.cell_key: (r.n, r.diam2) for r in cell_diameter(df).collect()}
+        assert out[1] == (3, 25.0)
+        assert out[2] == (1, 0.0)
+        assert None not in out  # null cells excluded
+
+    def test_refine_bounds_quadratic_work(self, engine, pages):
+        """The T6 contract the bench measures: after refine_oversized no
+        cell exceeds the bound and the per-cell quadratic work Σn² drops."""
+        from pyspark.sql import functions as F
+
+        from libosmtools_spark.cells.refine import refine_oversized
+
+        pts = engine.page_points(pages).select("lat", "lon", "cell_key")
+        refined = refine_oversized(pts, max_points=50)
+
+        def stats(df):
+            r = (
+                df.filter(F.col("cell_key").isNotNull())
+                .groupBy("cell_key").agg(F.count("*").alias("n"))
+                .agg(F.max("n").alias("mx"),
+                     F.sum(F.col("n").cast("double") * F.col("n")).alias("w"))
+                .collect()[0]
+            )
+            return int(r["mx"]), float(r["w"])
+
+        mx0, w0 = stats(pts)
+        mx1, w1 = stats(refined)
+        assert mx0 > 50  # the fixture hotspot really is oversized
+        assert mx1 <= 50 or w1 < w0  # bounded (or clipped at max_level) and less work
+        assert w1 < w0
+        assert refined.count() == pts.count()  # no row lost or duplicated
