@@ -34,7 +34,13 @@ def main():
     from libosmtools_spark.pipeline import SpatialEngine
     from libosmtools_spark.session import get_spark
 
-    spark = get_spark(app="plans", cpus=8, shuffle_partitions=8)
+    # AQE off for the DUMP only: a non-final AdaptiveSparkPlan hides the
+    # whole-stage-codegen annotations explain() would otherwise show (the
+    # engine itself runs with AQE on; this tool just reports plan shape)
+    spark = get_spark(
+        app="plans", cpus=8, shuffle_partitions=8,
+        extra={"spark.sql.adaptive.enabled": "false"},
+    )
     fx = ensure_fixtures("0.001")
     eng = SpatialEngine.from_fixtures(spark, fx)
     pages = spark.read.parquet(os.path.join(fx, "pages.parquet"))

@@ -259,8 +259,16 @@ Cross-checks:
   coalescing off) — partition sizing matters more than operator choice.
 """
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
-    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(repo, "BENCH", "BASELINE.md")
+    # preserve hand-written round sections (anything from '## Round' on)
+    extra = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## Round")
+        if idx >= 0:
+            extra = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + extra)
 
 
 if __name__ == "__main__":
