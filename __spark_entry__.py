@@ -661,6 +661,31 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(emb, k=KNN_K, n_planes=10, n_tables=12).select("vec_id", "neighbor_id", "rank")
 
 
+DUP_COS_T = 0.45  # sf0.01/0.1 fixture: nearest pair-cosine gap to this
+# threshold is >= 1e-4 (measured), so the engine's normalized-matmul cosine
+# and the oracle's dot/(norm*norm) cannot disagree across the boundary
+
+
+def q_cosine_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate PAIRS (dedup family) — exact,
+    count-gated dispatch (brute at fixture scale)."""
+    from libosmtools_spark.sim.ann import cosine_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    return cosine_dup_pairs(emb, threshold=DUP_COS_T).select("a", "b")
+
+
+def q_cosine_dup_blocked(spark, sf_dir):
+    """Same contract via the DISTRIBUTED block-nested-loop physical path
+    (what cosine_dup_pairs dispatches to beyond broadcast scale)."""
+    from libosmtools_spark.sim.ann import cosine_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    return cosine_dup_pairs(
+        emb, threshold=DUP_COS_T, brute_max_rows=0, n_query_blocks=4, n_corpus_blocks=4
+    ).select("a", "b")
+
+
 def q_mm_features(spark, sf_dir):
     from libosmtools_spark.mm.multimodal import extract_features
 
@@ -786,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_cosine_blocked": q_ann_cosine_blocked,
         "ann_lsh": q_ann_lsh,
+        "cosine_dup": q_cosine_dup,
+        "cosine_dup_blocked": q_cosine_dup_blocked,
         "mm_features": q_mm_features,
         # events
         "events_window": q_events_window,
@@ -801,6 +828,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ===========================================================================
 # oracles (DuckDB SQL over the registered views)
 # ===========================================================================
+
+_COSINE_DUP_SQL = f"""
+        WITH nrm AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_inner_product(embedding, embedding)) AS nn
+          FROM embeddings
+        )
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id
+        WHERE list_inner_product(x.embedding, y.embedding) / (x.nn * y.nn) >= {DUP_COS_T}
+    """
 
 def oracle_sql() -> dict[str, str]:
     preds = _PRED
@@ -966,6 +1004,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "ann_lsh": _ann_lsh_sql(KNN_K),
+        "cosine_dup": _COSINE_DUP_SQL,
+        "cosine_dup_blocked": _COSINE_DUP_SQL,
         "connected_components": f"""
             WITH RECURSIVE {CELL_SETS_CTE},
             g AS (SELECT cell_key, cell_id, {CK_IY} AS iy, {CK_IX} AS ix FROM cells_final),

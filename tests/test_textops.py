@@ -172,6 +172,33 @@ class TestANN:
         found = sum((i, 1000 + i) in pairs for i in range(400))
         assert found / 400 >= 0.95, found / 400
 
+    def test_cosine_dup_pairs_paths_agree(self, embeddings):
+        """Exact near-dup pairs: brute and block-nested-loop physical paths
+        emit the identical pair set."""
+        from libosmtools_spark.sim.ann import cosine_dup_pairs
+
+        brute = cosine_dup_pairs(embeddings, threshold=0.4).toPandas()
+        blocked = cosine_dup_pairs(
+            embeddings, threshold=0.4, brute_max_rows=0,
+            n_query_blocks=3, n_corpus_blocks=3,
+        ).toPandas()
+        assert set(zip(brute["a"], brute["b"])) == set(zip(blocked["a"], blocked["b"]))
+        assert len(brute) == len(brute.drop_duplicates())  # each pair exactly once
+
+    def test_cosine_dup_lsh_recall(self, spark):
+        """LSH near-dup path: recall >= 0.95 on planted duplicates."""
+        from libosmtools_spark.sim.ann import cosine_dup_pairs_lsh
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(800, 64))
+        dups = base[:300] + rng.normal(size=(300, 64)) * 0.12
+        rows = [(int(i), v.tolist()) for i, v in enumerate(np.vstack([base, dups]))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = cosine_dup_pairs_lsh(emb, threshold=0.9).toPandas()
+        pairs = set(zip(got["a"], got["b"]))
+        found = sum((i, 800 + i) in pairs for i in range(300))
+        assert found / 300 >= 0.95, found / 300
+
     def test_ann_lsh_topk_dispatch(self, embeddings):
         """Count-gated dispatch: a broadcast-scale corpus routes to the
         exact brute path (recall 1 by construction)."""
