@@ -150,6 +150,7 @@ def spatial_join_adaptive(
     max_level: int,
     lat: str = "lat",
     lon: str = "lon",
+    broadcast_index: bool = True,
 ) -> DataFrame:
     """spatial_join against a mixed-level index: points carry one PROBE key
     per level (with_ancestor_keys into ``_probe_key`` — any pre-existing
@@ -163,7 +164,11 @@ def spatial_join_adaptive(
     idx = adaptive_index.select(
         F.col("cell_key").alias("_probe_key"), "region_id", "full"
     )
-    joined = pts.join(F.broadcast(idx), "_probe_key", "inner").drop("_probe_key")
+    # broadcast_index=False: stores past broadcast size shuffle on the
+    # probe key instead (AQE skew-join splits hot cells) — the same knob
+    # as the flat spatial_join
+    idx = F.broadcast(idx) if broadcast_index else idx
+    joined = pts.join(idx, "_probe_key", "inner").drop("_probe_key")
     definite = joined.filter(F.col("full")).drop("full")
     candidate = joined.filter(~F.col("full")).drop("full")
     pip = make_pip_udf(rings_bcast)

@@ -87,3 +87,23 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestAdaptiveShuffleJoin:
+    def test_non_broadcast_matches(self, spark, sf_smoke):
+        """broadcast_index=False (shuffle join on probe key, for stores past
+        broadcast size) produces the identical hit set."""
+        import os
+
+        from libosmtools_spark.pipeline import SpatialEngine
+        from libosmtools_spark.joins.spatial import spatial_join_adaptive
+
+        eng = SpatialEngine.from_fixtures(spark, sf_smoke)
+        pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet")).limit(400)
+        pts = eng.page_points(pages).select("url", "lat", "lon")
+        a = spatial_join_adaptive(pts, eng.cell_index, eng.rings_bcast,
+                                  eng.level, eng.max_level).select("url", "region_id")
+        b = spatial_join_adaptive(pts, eng.cell_index, eng.rings_bcast,
+                                  eng.level, eng.max_level,
+                                  broadcast_index=False).select("url", "region_id")
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
