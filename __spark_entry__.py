@@ -336,6 +336,57 @@ def _ann_lsh_sql(k: int, n_planes: int = 10, n_tables: int = 12, dim: int = 64) 
         FROM scored QUALIFY rank <= {k}
     """
 
+def _ivf_sql(k: int, n_lists: int = 16, n_probe: int = 4) -> str:
+    """Full SQL replica of sim.ann.ivf_topk with the default seed
+    quantizer: centroids are the n_lists smallest-id vectors (computed by
+    the SQL itself — self-contained, sf-independent), assignment scores
+    are exact-integer dots over floor(v·2^20) divided by the centroid
+    norm (an IEEE sqrt of an exact int) — bit-identical in any engine and
+    any summation order; candidates from probe/list joins; exact-cosine
+    ranking."""
+    from libosmtools_spark.sim.ann import LSH_QUANT
+
+    return f"""
+        WITH cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+                 list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * {LSH_QUANT})) AS ci
+          FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_lists})
+        ),
+        cnorm AS (
+          SELECT list_id, ci,
+                 CASE WHEN list_inner_product(ci, ci) = 0 THEN 1.0
+                      ELSE sqrt(list_inner_product(ci, ci)) END AS nn
+          FROM cent
+        ),
+        qi AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * {LSH_QUANT})) AS q
+          FROM embeddings
+        ),
+        scores AS (
+          SELECT q.vec_id, c.list_id, list_inner_product(q.q, c.ci) / c.nn AS s
+          FROM qi q CROSS JOIN cnorm c
+        ),
+        probes AS (
+          SELECT vec_id, list_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, list_id ASC) AS pr
+          FROM scores
+        ),
+        corpus AS (SELECT vec_id AS nid, list_id FROM probes WHERE pr = 1),
+        qs AS (SELECT vec_id AS qid, list_id FROM probes WHERE pr <= {n_probe}),
+        cand AS (SELECT qid, nid FROM qs JOIN corpus USING (list_id) WHERE qid <> nid),
+        scored AS (
+          SELECT c.qid, c.nid, list_cosine_similarity(ea.embedding, eb.embedding) AS cos
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.qid
+          JOIN embeddings eb ON eb.vec_id = c.nid
+        )
+        SELECT qid AS vec_id, nid AS neighbor_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        FROM scored QUALIFY rank <= {k}
+    """
+
+
 _PRED = _region_pred_sql("lat", "lon")
 PIP_ROWS_SQL = "\nUNION ALL\n".join(
     f"SELECT doc_id, {rid} AS region_id FROM pts WHERE {_PRED[rid]}" for rid in sorted(ORACLE_REGIONS)
@@ -686,6 +737,16 @@ def q_cosine_dup_blocked(spark, sf_dir):
     ).select("a", "b")
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF inverted-list ANN (seed quantizer, 16 lists, 4 probes) — the
+    list-partitioned scale path; the oracle (_ivf_sql) replicates the
+    integer-exact assignment."""
+    from libosmtools_spark.sim.ann import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb, k=KNN_K, n_lists=16, n_probe=4).select("vec_id", "neighbor_id", "rank")
+
+
 def q_mm_features(spark, sf_dir):
     from libosmtools_spark.mm.multimodal import extract_features
 
@@ -811,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_cosine_blocked": q_ann_cosine_blocked,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "cosine_dup": q_cosine_dup,
         "cosine_dup_blocked": q_cosine_dup_blocked,
         "mm_features": q_mm_features,
@@ -1004,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "ann_lsh": _ann_lsh_sql(KNN_K),
+        "ann_ivf": _ivf_sql(KNN_K),
         "cosine_dup": _COSINE_DUP_SQL,
         "cosine_dup_blocked": _COSINE_DUP_SQL,
         "connected_components": f"""

@@ -453,3 +453,115 @@ def cosine_dup_pairs_lsh(
         return pd.Series((A * C).sum(axis=1) / (na * nc) >= threshold)
 
     return cand.filter(above(F.col("av"), F.col("bv"))).select("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the list-partitioned scale path
+# ---------------------------------------------------------------------------
+
+def ivf_seed_centroids(embeddings: DataFrame, n_lists: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic coarse quantizer: the ``n_lists`` corpus vectors with
+    the smallest ids, as an (n_lists, dim) float64 matrix.  Production IVF
+    plugs a TRAINED quantizer (k-means run offline) into ``ivf_topk``'s
+    ``centroids`` parameter — the assignment/probe machinery is identical;
+    the seed default keeps the operator deterministic and exactly
+    SQL-oracle-able without a training step."""
+    pdf = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_lists).toPandas()
+    )
+    return np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+
+
+def _ivf_quantizer(centroids: np.ndarray):
+    """Integer-exact assignment tables: quantized centroids (ints) and
+    their norms.  Scores are dot(floor(v·2^20), floor(c·2^20)) / ‖floor(
+    c·2^20)‖ — the dot is an exact int64 (< 2^53 for unit-scale
+    embeddings), the norm an IEEE sqrt of an exact int, so every engine
+    computes bit-identical scores in any summation order (same trick as
+    the LSH buckets; see LSH_QUANT)."""
+    Cq = np.floor(centroids * LSH_QUANT)
+    norms = np.sqrt((Cq * Cq).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return Cq, norms
+
+
+def ivf_assign_udf(centroids: np.ndarray, n_probe: int):
+    """vec → array of list ids: [own list (argmax score), …top-n_probe
+    probes] — element 0 is the corpus-side assignment; the full array is
+    the query-side probe set.  Ties break to the smaller list id."""
+    Cq, norms = _ivf_quantizer(centroids)
+    L = len(Cq)
+    n_probe = min(n_probe, L)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vec: pd.Series) -> pd.Series:
+        V = np.stack(vec.to_numpy()).astype(np.float64)
+        Q = np.floor(V * LSH_QUANT)
+        S = (Q @ Cq.T) / norms[None, :]  # exact ints / exact norms
+        idx = np.arange(L)
+        out = []
+        for r in range(len(V)):
+            order = np.lexsort((idx, -S[r]))[:n_probe]
+            out.append([int(x) for x in order])
+        return pd.Series(out)
+
+    return assign
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via inverted lists: every corpus vector lives in
+    exactly ONE list (its nearest centroid); each query probes its
+    ``n_probe`` nearest lists and ranks the candidates by exact cosine.
+
+    100 TB shape: the corpus partitions by list id (candidate volume per
+    query ≈ n_probe/n_lists of the corpus — tunable recall/cost), the
+    list assignment shuffle carries (id, list) rows only, and vectors
+    rejoin once for scoring, exactly like lsh_topk.  Recall follows the
+    probe coverage; measured against the exact operator in tests."""
+    if centroids is None:
+        centroids = ivf_seed_centroids(embeddings, n_lists, id_col, vec_col)
+    assign = ivf_assign_udf(centroids, n_probe)
+    assigned = embeddings.select(
+        F.col(id_col), assign(F.col(vec_col)).alias("probes")
+    )
+    corpus = assigned.select(
+        F.col(id_col).alias("nid"), F.element_at("probes", 1).alias("list_id")
+    )
+    queries = assigned.select(
+        F.col(id_col).alias("qid"), F.explode("probes").alias("list_id")
+    )
+    cand = (
+        queries.join(corpus, "list_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+    )  # lists are disjoint per corpus vector and probes are distinct → no dup pairs
+    qv = embeddings.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    nv = embeddings.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    cand = cand.join(qv, "qid").join(nv, "nid")
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, c: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        C = np.stack(c.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(A, axis=1)
+        nc = np.linalg.norm(C, axis=1)
+        na[na == 0] = 1.0
+        nc[nc == 0] = 1.0
+        return pd.Series((A * C).sum(axis=1) / (na * nc))
+
+    scored = cand.withColumn("cosine", cos(F.col("qv"), F.col("nv")))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(id_col), F.col("nid").alias("neighbor_id"), "rank")
+    )

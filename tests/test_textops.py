@@ -172,6 +172,34 @@ class TestANN:
         found = sum((i, 1000 + i) in pairs for i in range(400))
         assert found / 400 >= 0.95, found / 400
 
+    def test_ivf_near_dup_recall(self, spark):
+        """IVF lists: a near-duplicate pair has nearly identical vectors,
+        hence the same nearest centroid, hence the same list — recall ~1
+        for the dedup regime."""
+        from libosmtools_spark.sim.ann import ivf_topk
+
+        rng = np.random.default_rng(21)
+        base = rng.normal(size=(600, 64))
+        dups = base[:200] + rng.normal(size=(200, 64)) * 0.12
+        rows = [(int(i), v.tolist()) for i, v in enumerate(np.vstack([base, dups]))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = ivf_topk(emb, k=5, n_lists=16, n_probe=4).toPandas()
+        pairs = set(zip(got["vec_id"], got["neighbor_id"]))
+        found = sum((i, 600 + i) in pairs or (600 + i, i) in pairs for i in range(200))
+        assert found / 200 >= 0.95, found / 200
+
+    def test_ivf_corpus_partition(self, embeddings):
+        """Every corpus vector lives in exactly one list; candidates per
+        query are bounded by the probed lists' population."""
+        from libosmtools_spark.sim.ann import ivf_assign_udf, ivf_seed_centroids
+
+        cents = ivf_seed_centroids(embeddings, 8)
+        assign = ivf_assign_udf(cents, 3)
+        out = embeddings.select("vec_id", assign(F.col("embedding")).alias("p")).toPandas()
+        assert (out["p"].str.len() == 3).all()          # n_probe entries each
+        assert out["p"].apply(lambda p: len(set(p)) == 3).all()  # distinct lists
+        assert out["p"].apply(lambda p: all(0 <= x < 8 for x in p)).all()
+
     def test_cosine_dup_pairs_paths_agree(self, embeddings):
         """Exact near-dup pairs: brute and block-nested-loop physical paths
         emit the identical pair set."""
