@@ -217,9 +217,11 @@ def minhash_lsh_pairs(
     # are identical unless two distinct shingles of one doc pair collide
     # (~2^-64 per pair — accepted on the scale path; ngram_jaccard_pairs
     # remains the string-exact ground truth).
+    # referenced three times below (sizes + both join sides): checkpoint
+    # the (id, hash) rows so the explode+distinct shuffle runs once
     sh = docs.select(
         F.col(id_col), F.explode(hashed_shingles_col(F.col(text_col), k)).alias("shingle")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col(id_col).alias("a"), "shingle")
     shb = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -231,7 +233,7 @@ def minhash_lsh_pairs(
     )
     na = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         inter.join(na, "a")
         .join(nb, "b")
         .withColumn(
@@ -242,6 +244,13 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+    # materialize the (small: verified pairs) result, release the shingle
+    # checkpoint — no storage growth across repeated calls
+    out = out.localCheckpoint(eager=True)
+    from libosmtools_spark.session import release_local_checkpoint
+
+    release_local_checkpoint(sh)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -309,6 +318,13 @@ def simhash_pairs(
     assert SIMHASH_BITS % n_bands == 0
     width = SIMHASH_BITS // n_bands
     mask = F.lit((1 << width) - 1).cast("long")
+
+    # the plan references the fingerprints FIVE times (same-fp join sides,
+    # distinct-fp banding, two group-expansion sides); without this the
+    # whole upstream fingerprint pipeline (explode + 60 vote aggregates)
+    # re-executes per reference — measured as the bulk of the operator's
+    # wall.  The checkpoint is (doc_id, simhash): 16 bytes/doc.
+    fingerprints = fingerprints.localCheckpoint(eager=True)
 
     # ---- hamming = 0 (identical fingerprints): a plain equi-join on the
     # fingerprint — NEVER through the banded buckets.  Without this split,

@@ -425,5 +425,8 @@ class TestScaleHygiene:
                 res.count()
                 release_local_checkpoint(res)
             # every intermediate cache/loop-checkpoint is released by the
-            # operators themselves; the result checkpoint via the helper
-            assert n_cached() == base
+            # operators themselves; the result checkpoint via the helper.
+            # <= not ==: checkpoints left by EARLIER tests in the session
+            # may be garbage-collected mid-loop, dropping the count below
+            # the baseline — growth is the bug, shrinkage isn't.
+            assert n_cached() <= base
