@@ -169,12 +169,16 @@ def knn_join(
     lon: str = "lon",
     max_rounds: int = 4,
     method: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """points(id, lat, lon, …) → (id, neighbor_id, rank), rank 1..k.
 
-    method: 'auto' (count-based dispatch), 'brute', or 'ring'."""
+    method: 'auto' (count-based dispatch), 'brute', or 'ring'.  Callers
+    that already know the point count pass ``n_rows`` to skip the dispatch
+    count() job."""
     if method == "auto":
-        method = "brute" if points.count() <= BRUTE_THRESHOLD else "ring"
+        n = points.count() if n_rows is None else n_rows
+        method = "brute" if n <= BRUTE_THRESHOLD else "ring"
     if method == "brute":
         return knn_brute(points, id_col, k, lat, lon)
     return knn_ring(points, id_col, k, level, lat, lon, max_rounds)

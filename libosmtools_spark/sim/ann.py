@@ -42,12 +42,14 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     brute_max_rows: int = BRUTE_MAX_ROWS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k with automatic physical-path dispatch: corpora
     that fit a broadcast take the matmul path; anything larger runs the
     distributed blocked path.  Results are identical (same cosine formula,
-    same desc-cosine/asc-id tie rule)."""
-    n = embeddings.count()
+    same desc-cosine/asc-id tie rule).  ``n_rows`` (if known) skips the
+    dispatch count() job."""
+    n = embeddings.count() if n_rows is None else n_rows
     if n <= brute_max_rows:
         return cosine_topk_brute(embeddings, k, id_col, vec_col, _count_checked=True)
     return cosine_topk_blocked(embeddings, k, id_col=id_col, vec_col=vec_col)
