@@ -123,11 +123,15 @@ def bench_queries(spark, fixtures: str) -> dict[str, float]:
         "events_window",
         "sessionize",
     ]
+    # min-of-2 per query: single samples swing ±3× with neighbor load on
+    # this shared VM (same estimator as the flagship/scaling sections)
     out: dict[str, float] = {}
-    for name in picks:
-        t0 = time.monotonic()
-        qs[name](spark, SF_DIR).count()
-        out[name] = round(time.monotonic() - t0, 3)
+    for _ in range(2):
+        for name in picks:
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).count()
+            dt = round(time.monotonic() - t0, 3)
+            out[name] = min(out.get(name, dt), dt)
     return out
 
 

@@ -189,8 +189,15 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signature_udf(num_perm)
-    base = docs.select(F.col(id_col), hashed_shingles_col(F.col(text_col), k).alias("sh"))
-    with_sig = base.withColumn("sig", sig(F.col("sh")))
+    # the hashed-shingle transform is a nested higher-order function —
+    # Catalyst evaluates it INTERPRETED (no whole-stage codegen), so it is
+    # the query's dominant JVM cost; evaluate it exactly ONCE into a
+    # checkpointed (id, array<long>) table (~16B/shingle) and derive both
+    # the signature stage and the verification rows from that
+    hashed = docs.select(
+        F.col(id_col), hashed_shingles_col(F.col(text_col), k).alias("sh")
+    ).localCheckpoint(eager=True)
+    with_sig = hashed.withColumn("sig", sig(F.col("sh")))
 
     band_cols = [
         F.struct(
@@ -217,10 +224,10 @@ def minhash_lsh_pairs(
     # are identical unless two distinct shingles of one doc pair collide
     # (~2^-64 per pair — accepted on the scale path; ngram_jaccard_pairs
     # remains the string-exact ground truth).
-    # referenced three times below (sizes + both join sides): checkpoint
-    # the (id, hash) rows so the explode+distinct shuffle runs once
-    sh = docs.select(
-        F.col(id_col), F.explode(hashed_shingles_col(F.col(text_col), k)).alias("shingle")
+    # referenced three times below (sizes + both join sides), derived from
+    # the already-checkpointed hashed arrays — no second HOF evaluation
+    sh = hashed.select(
+        F.col(id_col), F.explode("sh").alias("shingle")
     ).distinct().localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col(id_col).alias("a"), "shingle")
@@ -244,12 +251,13 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    # materialize the (small: verified pairs) result, release the shingle
-    # checkpoint — no storage growth across repeated calls
+    # materialize the (small: verified pairs) result, release both
+    # intermediate checkpoints — no storage growth across repeated calls
     out = out.localCheckpoint(eager=True)
     from libosmtools_spark.session import release_local_checkpoint
 
     release_local_checkpoint(sh)
+    release_local_checkpoint(hashed)
     return out
 
 
