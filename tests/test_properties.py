@@ -1,0 +1,170 @@
+"""Property-based tests (hypothesis) for the pure-numpy geometry kernels —
+the invariants every spatial operator builds on.  No SparkSession needed,
+so these run in milliseconds and fuzz far wider than the fixture corpus.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from libosmtools_spark.geom import kernels as K
+
+lat_s = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+lon_s = st.floats(min_value=-540.0, max_value=540.0, allow_nan=False)
+level_s = st.integers(min_value=0, max_value=K.MAX_LEVEL)
+
+
+class TestCellKeyProperties:
+    @given(lat=lat_s, lon=lon_s, level=level_s)
+    @settings(max_examples=300, deadline=None)
+    def test_key_bounds_contain_point(self, lat, lon, level):
+        """A point's cell bounds contain the (lon-normalized, clamped)
+        point — the half-open [min, max) grid contract, closed at the
+        domain edge (lat=90 lands in the top row)."""
+        key = K.cell_key(np.array([lat]), np.array([lon]), level)
+        min_lat, max_lat, min_lon, max_lon = K.cell_bounds(key)
+        nlon = K.norm_lon(np.array([lon]))[0]
+        # 1e-9 margins: double absorption near cell boundaries (e.g. a
+        # subnormal lat added to 90.0 vanishes) can put the point one ulp
+        # across; the kernels and the SQL mirror absorb identically.
+        assert min_lat[0] - 1e-9 <= lat <= max_lat[0] + 1e-9
+        assert min_lon[0] - 1e-9 <= nlon <= max_lon[0] + 1e-9
+
+    @given(lat=lat_s, lon=lon_s, level=st.integers(min_value=1, max_value=K.MAX_LEVEL))
+    @settings(max_examples=300, deadline=None)
+    def test_parent_of_key_is_coarser_key(self, lat, lon, level):
+        """cell_parent(key at L) == the point's own key at L-1 — the
+        quadtree hierarchy is consistent with direct assignment."""
+        fine = K.cell_key(np.array([lat]), np.array([lon]), level)
+        coarse = K.cell_key(np.array([lat]), np.array([lon]), level - 1)
+        assert K.cell_parent(fine)[0] == coarse[0]
+
+    @given(lat=lat_s, lon=lon_s, level=st.integers(min_value=0, max_value=K.MAX_LEVEL - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_children_partition_parent(self, lat, lon, level):
+        """The point's key at level+1 is among its level-key's 4 children."""
+        key = K.cell_key(np.array([lat]), np.array([lon]), level)
+        child = K.cell_key(np.array([lat]), np.array([lon]), level + 1)
+        assert child[0] in set(K.cell_children(int(key[0])).tolist())
+
+    @given(lon=lon_s)
+    @settings(max_examples=300, deadline=None)
+    def test_norm_lon_range(self, lon):
+        n = K.norm_lon(np.array([lon]))[0]
+        assert -180.0 <= n < 180.0 or np.isclose(n, -180.0)
+
+
+class TestPIPProperties:
+    @given(
+        cy=st.floats(min_value=-60, max_value=60, allow_nan=False),
+        cx=st.floats(min_value=-60, max_value=60, allow_nan=False),
+        h=st.floats(min_value=0.5, max_value=20, allow_nan=False),
+        w=st.floats(min_value=0.5, max_value=20, allow_nan=False),
+        py=st.floats(min_value=-89, max_value=89, allow_nan=False),
+        px=st.floats(min_value=-89, max_value=89, allow_nan=False),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_rect_ray_cast_matches_bounds(self, cy, cx, h, w, py, px):
+        """Ray-cast against an axis-aligned rect ring agrees with the
+        direct bounds test whenever the point is clearly off the boundary
+        (the half-open edge rule only matters ON the boundary)."""
+        ring = K.rect_ring(cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2)
+        eps = 1e-9 * max(1.0, abs(py), abs(px))
+        on_edge = (
+            min(abs(py - (cy - h / 2)), abs(py - (cy + h / 2))) < 1e-6
+            or min(abs(px - (cx - w / 2)), abs(px - (cx + w / 2))) < 1e-6
+        )
+        if on_edge:
+            return
+        want = (cy - h / 2 < py < cy + h / 2) and (cx - w / 2 < px < cx + w / 2)
+        got = K.point_in_rings(np.array([py]), np.array([px]), [ring], [])[0]
+        assert got == want, (py, px, ring, eps)
+
+    @given(
+        n=st.integers(min_value=3, max_value=12),
+        seed=st.integers(min_value=0, max_value=10_000),
+        r=st.floats(min_value=1.0, max_value=30.0, allow_nan=False),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_convex_polygon_center_inside(self, n, seed, r):
+        """The centroid of a convex polygon (star-sampled) is inside it;
+        a far-outside point is not."""
+        rng = np.random.default_rng(seed)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, size=n))
+        if len(np.unique(np.round(ang, 6))) < 3:
+            return
+        ys = r * np.sin(ang)
+        xs = r * np.cos(ang)
+        ring = np.stack([np.append(ys, ys[0]), np.append(xs, xs[0])], axis=1)
+        cy, cx = ys.mean(), xs.mean()
+        assert K.point_in_rings(np.array([cy]), np.array([cx]), [ring], [])[0]
+        assert not K.point_in_rings(np.array([cy + 3 * r]), np.array([cx]), [ring], [])[0]
+
+
+class TestSegmentRectProperties:
+    @given(
+        y1=st.floats(-50, 50, allow_nan=False), x1=st.floats(-50, 50, allow_nan=False),
+        y2=st.floats(-50, 50, allow_nan=False), x2=st.floats(-50, 50, allow_nan=False),
+        ry=st.floats(-40, 40, allow_nan=False), rx=st.floats(-40, 40, allow_nan=False),
+        rh=st.floats(0.5, 10, allow_nan=False), rw=st.floats(0.5, 10, allow_nan=False),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_inside_endpoints_intersect(self, y1, x1, y2, x2, ry, rx, rh, rw):
+        a, b, c, d = ry, ry + rh, rx, rx + rw
+        inside1 = a < y1 < b and c < x1 < d
+        inside2 = a < y2 < b and c < x2 < d
+        got = K.segment_intersects_rect(
+            np.array([y1]), np.array([x1]), np.array([y2]), np.array([x2]), a, b, c, d
+        )[0]
+        if inside1 or inside2:
+            assert got
+        # CLEARLY disjoint bounding boxes → no intersection (the margin
+        # keeps float absorption at touching boundaries out of scope —
+        # Liang-Barsky counts boundary touches as intersections)
+        if (max(y1, y2) < a - 1e-6 or min(y1, y2) > b + 1e-6
+                or max(x1, x2) < c - 1e-6 or min(x1, x2) > d + 1e-6):
+            assert not got
+
+
+class TestCoverageProperties:
+    @given(
+        a=st.floats(-60, 50, allow_nan=False),
+        c=st.floats(-170, 160, allow_nan=False),
+        h=st.floats(1.0, 25.0, allow_nan=False),
+        w=st.floats(1.0, 25.0, allow_nan=False),
+        seed=st.integers(0, 10_000),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_adaptive_equals_flat_membership(self, a, c, h, w, seed):
+        """For random rect regions and random probe points, membership via
+        the flat level-6 cover equals membership via the adaptive 6..9
+        cover (full hit OR (partial leaf AND ray-cast)) — the engine-default
+        index is a pure optimization."""
+        ring = K.rect_ring(a, c, a + h, c + w)
+        rng = np.random.default_rng(seed)
+        py = rng.uniform(a - 5, a + h + 5, size=40)
+        px = rng.uniform(c - 5, c + w + 5, size=40)
+
+        def member(keys, full, levels):
+            out = np.zeros(len(py), dtype=bool)
+            order = np.argsort(keys, kind="stable")
+            sk, sf = keys[order], full[order]
+            for lv in levels:
+                pk = K.cell_key(py, px, lv)
+                pos = np.searchsorted(sk, pk)
+                pos[pos >= len(sk)] = len(sk) - 1
+                hit = sk[pos] == pk
+                for i in np.flatnonzero(hit):
+                    if sf[pos[i]]:
+                        out[i] = True
+                    else:
+                        out[i] |= bool(
+                            K.point_in_rings(py[i : i + 1], px[i : i + 1], [ring], [])[0]
+                        )
+            return out
+
+        fk, ff = K.covering_cells([ring], [], 6)
+        ak, af = K.adaptive_covering_cells([ring], [], 6, 9)
+        got_flat = member(fk, ff, [6])
+        got_ad = member(ak, af, sorted({int(k) >> K._LEVEL_SHIFT for k in ak}))
+        assert (got_flat == got_ad).all()
