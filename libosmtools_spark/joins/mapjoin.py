@@ -111,6 +111,7 @@ def map_spatial_join(
     lat: str = "lat",
     lon: str = "lon",
     n_regions: int | None = None,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """points(id, lat, lon, cell_key) → (id, cell_key, region_ids array).
 
@@ -124,12 +125,14 @@ def map_spatial_join(
     if n_regions is None:
         n_regions = candidates_bcast.value["n_regions"]
     n_words = max(1, (n_regions + 62) // 63)
-    id_type = dict(points.dtypes)[id_col]
+    dtypes = dict(points.dtypes)
+    id_type = dtypes[id_col]
     # mask words as FLAT int64 columns (m0, m1, …): each is a plain numpy
     # column through Arrow — no per-row Python list objects (at millions of
     # rows per batch the list-of-arrays assembly dominated UDF time)
     word_cols = ", ".join(f"m{w} long" for w in range(n_words))
-    schema = f"{id_col} {id_type}, cell_key long, {word_cols}"
+    carry_schema = "".join(f", {c} {dtypes[c]}" for c in carry_cols)
+    schema = f"{id_col} {id_type}, cell_key long{carry_schema}, {word_cols}"
 
     # The index may hold MIXED-LEVEL keys (the adaptive default): the
     # kernel probes the point's key at each level present in the index —
@@ -208,6 +211,9 @@ def map_spatial_join(
                             masks[sel[hits_], word] |= np.int64(1) << np.int64(bit)
             arrays = [batch.column(id_col), batch.column("cell_key")]
             names = [id_col, "cell_key"]
+            for c in carry_cols:  # passthrough Arrow buffers (e.g. event time
+                arrays.append(batch.column(c))  # for streaming windows)
+                names.append(c)
             for w in range(n_words):
                 arrays.append(pa.array(np.ascontiguousarray(masks[:, w])))
                 names.append(f"m{w}")
@@ -216,7 +222,9 @@ def map_spatial_join(
     # NULL cell_key (geocode miss) → -1 sentinel so the Arrow column stays
     # int64 end-to-end (see the dtype note inside run); restored below.
     pts = points.select(
-        id_col, lat, lon, F.coalesce(F.col("cell_key"), F.lit(-1).cast("long")).alias("cell_key")
+        id_col, lat, lon,
+        F.coalesce(F.col("cell_key"), F.lit(-1).cast("long")).alias("cell_key"),
+        *carry_cols,
     )
     out = pts.mapInArrow(run, schema).withColumn(
         "mask", F.array(*[F.col(f"m{w}") for w in range(n_words)])
@@ -228,4 +236,6 @@ def map_spatial_join(
         ")), x -> x IS NOT NULL)"
     ).cast("array<int>")
     restore_key = F.when(F.col("cell_key") >= 0, F.col("cell_key"))
-    return out.select(id_col, restore_key.alias("cell_key"), decode.alias("region_ids"))
+    return out.select(
+        id_col, restore_key.alias("cell_key"), *carry_cols, decode.alias("region_ids")
+    )

@@ -139,3 +139,71 @@ def run_stream_to_memory(spark, pages_dir: str, level: int = 6, query_name: str 
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_region_counts(
+    pages_stream: DataFrame,
+    candidates_bcast,
+    rings_bcast,
+    level: int = 6,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """pages stream → (window, region_id, n_pages): the FULL spatial join
+    running continuously — the zero-shuffle broadcast-store kernel
+    (joins/mapjoin.map_spatial_join) is a stateless mapInArrow, so it
+    composes with Structured Streaming unchanged; the event timestamp
+    rides through the kernel as an Arrow passthrough column and feeds the
+    watermarked window after region explode.  Identical on a batch frame
+    (stream == batch parity-tested)."""
+    from libosmtools_spark.joins.mapjoin import map_spatial_join
+
+    pts = with_cell_key(geocode_pages(pages_stream), level=level).select(
+        "url", "warc_ts", "lat", "lon", "cell_key"
+    )
+    res = map_spatial_join(
+        pts, candidates_bcast, rings_bcast, carry_cols=("warc_ts",)
+    )
+    rows = res.select("warc_ts", F.explode("region_ids").alias("region_id"))
+    return (
+        rows.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "region_id")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "region_id",
+            "n_pages",
+        )
+    )
+
+
+def run_region_stream_to_memory(spark, pages_dir: str, engine, query_name: str = "regions_stream"):
+    """Drive the streaming spatial join synchronously over fixture parquet
+    (memory sink; processAllAvailable) using a prebuilt SpatialEngine's
+    broadcast artifacts."""
+    import os
+    import shutil
+    import tempfile
+
+    if os.path.isfile(pages_dir):
+        d = tempfile.mkdtemp(prefix="geostream_regions_")
+        shutil.copy(pages_dir, os.path.join(d, os.path.basename(pages_dir)))
+        pages_dir = d
+    static = spark.read.parquet(pages_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pages_dir)
+    )
+    agg = stream_region_counts(stream, engine.candidates_bcast, engine.rings_bcast,
+                               level=engine.level)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

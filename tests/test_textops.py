@@ -327,6 +327,30 @@ class TestMultimodal:
 
 
 class TestStreaming:
+    def test_region_stream_matches_batch(self, spark, sf_smoke):
+        """The full spatial join as a continuous query: streaming windowed
+        per-region counts equal the batch computation on the same input."""
+        import os
+
+        from libosmtools_spark.pipeline import SpatialEngine
+        from libosmtools_spark.streaming.geostream import (
+            run_region_stream_to_memory,
+            stream_region_counts,
+        )
+
+        eng = SpatialEngine.from_fixtures(spark, sf_smoke)
+        pages_dir = os.path.join(sf_smoke, "pages.parquet")
+        got = run_region_stream_to_memory(spark, pages_dir, eng, query_name="t_rstream").toPandas()
+        batch = stream_region_counts(
+            spark.read.parquet(pages_dir), eng.candidates_bcast, eng.rings_bcast,
+            level=eng.level,
+        ).toPandas()
+        key = ["window_start", "region_id"]
+        g = got.sort_values(key).reset_index(drop=True)
+        b = batch.sort_values(key).reset_index(drop=True)
+        assert len(g) == len(b) > 0
+        assert (g["n_pages"].to_numpy() == b["n_pages"].to_numpy()).all()
+
     def test_stream_matches_batch(self, spark, sf_smoke):
         from libosmtools_spark.streaming.geostream import (
             run_stream_to_memory,
