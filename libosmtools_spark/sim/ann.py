@@ -50,9 +50,19 @@ def ann_topk(
     same desc-cosine/asc-id tie rule).  ``n_rows`` (if known) skips the
     dispatch count() job."""
     n = embeddings.count() if n_rows is None else n_rows
+    if n == 0:
+        return _empty_topk(embeddings, id_col)
     if n <= brute_max_rows:
         return cosine_topk_brute(embeddings, k, id_col, vec_col, _count_checked=True)
     return cosine_topk_blocked(embeddings, k, id_col=id_col, vec_col=vec_col)
+
+
+def _empty_topk(embeddings: DataFrame, id_col: str) -> DataFrame:
+    """Typed empty (id, neighbor_id, rank) result — numpy paths can't
+    stack zero vectors."""
+    return embeddings.sparkSession.createDataFrame(
+        [], f"{id_col} long, neighbor_id long, rank int"
+    )
 
 
 def _collect_matrix(embeddings: DataFrame, id_col: str, vec_col: str):
@@ -364,6 +374,8 @@ def cosine_dup_pairs(
     summation-order-sensitive across engines, the pair set is not."""
     spark = embeddings.sparkSession
     n = embeddings.count()
+    if n == 0:
+        return spark.createDataFrame([], "a long, b long")
     if n <= brute_max_rows:
         ids, M, norms = _collect_matrix(embeddings, id_col, vec_col)
         bc = spark.sparkContext.broadcast((ids, M / norms[:, None]))
@@ -472,6 +484,8 @@ def ivf_seed_centroids(embeddings: DataFrame, n_lists: int,
     pdf = (
         embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_lists).toPandas()
     )
+    if len(pdf) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
     return np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
 
 
@@ -531,6 +545,8 @@ def ivf_topk(
     probe coverage; measured against the exact operator in tests."""
     if centroids is None:
         centroids = ivf_seed_centroids(embeddings, n_lists, id_col, vec_col)
+    if len(centroids) == 0:  # empty corpus → empty result
+        return _empty_topk(embeddings, id_col)
     assign = ivf_assign_udf(centroids, n_probe)
     assigned = embeddings.select(
         F.col(id_col), assign(F.col(vec_col)).alias("probes")

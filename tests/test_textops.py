@@ -454,3 +454,27 @@ class TestScaleHygiene:
             # may be garbage-collected mid-loop, dropping the count below
             # the baseline — growth is the bug, shrinkage isn't.
             assert n_cached() <= base
+
+
+class TestEmptyInputs:
+    def test_operators_accept_empty_corpora(self, spark):
+        """Every dedup/similarity operator returns a typed empty result on
+        an empty table instead of crashing in numpy stacking."""
+        from libosmtools_spark.dedup.dedup import (
+            exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs,
+            simhash_fingerprints, simhash_pairs,
+        )
+        from libosmtools_spark.sim.ann import (
+            ann_topk, cosine_dup_pairs, ivf_topk, lsh_topk,
+        )
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        assert exact_dedup(docs).count() == 0
+        assert ngram_jaccard_pairs(docs).count() == 0
+        assert minhash_lsh_pairs(docs).count() == 0
+        assert simhash_pairs(simhash_fingerprints(docs)).count() == 0
+        assert ann_topk(emb).count() == 0
+        assert lsh_topk(emb).count() == 0
+        assert cosine_dup_pairs(emb).count() == 0
+        assert ivf_topk(emb).count() == 0
