@@ -167,3 +167,62 @@ def run_flagship(spark: SparkSession, fixtures_dir: str, level: int = DEFAULT_LE
     pages = spark.read.parquet(os.path.join(fixtures_dir, "pages.parquet"))
     eng = SpatialEngine.from_fixtures(spark, fixtures_dir, level)
     return eng.flagship(pages)
+
+
+def run_flagship_staged(
+    spark: SparkSession,
+    fixtures_dir: str,
+    ckpt_root: str,
+    level: int = DEFAULT_LEVEL,
+    max_level: int | None = None,
+) -> DataFrame:
+    """The production shape of the flagship: staged, resumable, and ONE
+    scan of the fact table.
+
+    - stage ``page_regions``: the zero-shuffle map join, written to
+      parquet (this IS the expensive fact pass — geocode + kernel);
+    - stage ``cells``: the dictionary built from the STAGE OUTPUT's
+      distinct cells (read back from the narrow stage-1 parquet — the
+      in-memory flagship_map re-derives them with a second pages scan,
+      which at 10^12 rows is a full extra fact pass);
+    - stage ``flagship``: broadcast join of the two.
+
+    Each stage records manifest lineage + per-partition metrics
+    (run/checkpoint.py); re-running with an unchanged input fingerprint
+    skips straight to reading the stage parquet — resumable from any
+    point (north-rule requirement)."""
+    from libosmtools_spark.cells.assign import build_cells_table_map
+    from libosmtools_spark.joins.mapjoin import map_spatial_join
+    from libosmtools_spark.run.checkpoint import CheckpointManager, input_fingerprint
+
+    pages_path = os.path.join(fixtures_dir, "pages.parquet")
+    fp = input_fingerprint(spark, pages_path)
+    rings = spark.read.parquet(os.path.join(fixtures_dir, "region_rings.parquet"))
+    eng = SpatialEngine(spark, rings, level, max_level)
+    cp = CheckpointManager(spark, ckpt_root)
+
+    def build_regions():
+        pages = spark.read.parquet(pages_path)
+        pts = eng.page_points(pages).select("url", "lat", "lon", "cell_key")
+        return map_spatial_join(pts, eng.candidates_bcast, eng.rings_bcast)
+
+    res = cp.stage("page_regions", fp, build_regions)
+    cells = cp.stage(
+        "cells",
+        fp,
+        lambda: build_cells_table_map(
+            res.select("cell_key"), eng.candidates_bcast, eng.rings_bcast
+        ),
+    )
+    final = cp.stage(
+        "flagship",
+        fp,
+        lambda: res.join(F.broadcast(cells.select("cell_key", "cell_id")), "cell_key", "left")
+        .select(
+            "url",
+            "cell_key",
+            F.coalesce("cell_id", F.lit(0)).alias("cell_id"),
+            "region_ids",
+        ),
+    )
+    return final

@@ -149,3 +149,34 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+class TestStagedFlagship:
+    def test_staged_matches_inmemory_and_resumes(self, spark, sf_smoke, tmp_path):
+        """run_flagship_staged == flagship_map output; a second run with an
+        unchanged input fingerprint rebuilds NOTHING (manifest unchanged);
+        and the staged pipeline scans pages exactly once per cold build."""
+        import os
+        import time
+
+        from libosmtools_spark.pipeline import SpatialEngine, run_flagship_staged
+
+        root = str(tmp_path / "ckpt")
+        got = run_flagship_staged(spark, sf_smoke, root).toPandas()
+
+        eng = SpatialEngine.from_fixtures(spark, sf_smoke)
+        pages = spark.read.parquet(os.path.join(sf_smoke, "pages.parquet"))
+        want = eng.flagship_map(pages).toPandas()
+        key = ["url"]
+        g = got.sort_values(key).reset_index(drop=True)
+        w = want.sort_values(key).reset_index(drop=True)
+        assert (g["cell_id"].to_numpy() == w["cell_id"].to_numpy()).all()
+        assert (g["region_ids"].apply(list) == w["region_ids"].apply(list)).all()
+
+        # resume: manifest must not grow (all three stages skipped)
+        manifest = os.path.join(root, "manifest.jsonl")
+        before = open(manifest).read()
+        t0 = time.monotonic()
+        again = run_flagship_staged(spark, sf_smoke, root)
+        assert again.count() == len(got)
+        assert open(manifest).read() == before  # no stage re-ran
