@@ -646,6 +646,22 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fp["fp_md5"].alias("fp_md5"), fp["fp_len"].alias("fp_len"))
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Sub-word-style token counting (BPE-ish pre-tokenizer regex)."""
+    from libosmtools_spark.text.analysis import bpe_token_count_col
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", bpe_token_count_col(F.col("text")).cast("long").alias("n_bpe"))
+
+
+def q_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (rolling k-gram hash, window min)."""
+    from libosmtools_spark.text.analysis import winnow_fingerprints
+
+    docs = _docs(spark, sf_dir)
+    return winnow_fingerprints(docs, k=3, window=4).select("doc_id", "fp")
+
+
 def q_dedup_exact(spark, sf_dir):
     from libosmtools_spark.dedup.dedup import exact_dedup
 
@@ -864,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "bpe_token_count": q_bpe_token_count,
+        "winnow": q_winnow,
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
@@ -900,6 +918,33 @@ _COSINE_DUP_SQL = f"""
         SELECT x.vec_id AS a, y.vec_id AS b
         FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id
         WHERE list_inner_product(x.embedding, y.embedding) / (x.nn * y.nn) >= {DUP_COS_T}
+    """
+
+_BPE_SQL = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_bpe
+        FROM documents
+    """
+
+_WINNOW_SQL = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(range(1, greatest(len(t) - 1, 1))) - 1 AS pos,
+                 unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                        i -> ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT)) AS h
+          FROM toks
+        ),
+        win AS (
+          SELECT doc_id, pos,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                 count(*) OVER (PARTITION BY doc_id) AS n_sh
+          FROM sh
+        )
+        SELECT DISTINCT doc_id, fp FROM win WHERE pos <= n_sh - 4
     """
 
 def oracle_sql() -> dict[str, str]:
@@ -1044,6 +1089,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {lang_case} AS pred_lang FROM padded
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp_md5, length(text) AS fp_len FROM documents",
+        "bpe_token_count": _BPE_SQL,
+        "winnow": _WINNOW_SQL,
         "dedup_exact": """
             SELECT d.doc_id, g.canonical_id, g.group_size
             FROM documents d

@@ -118,3 +118,59 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         predicted_lang_col(t).alias("pred_lang"),
         fp["fp_md5"].alias("fp_md5"),
     )
+
+
+#: BPE-ish pre-tokenizer classes (letters / digits / punctuation runs) —
+#: deliberately restricted to character classes whose semantics agree
+#: between Java regex (Spark) and RE2 (DuckDB), so the count is exactly
+#: cross-engine oracle-able
+BPE_TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Sub-word-style token count: length of the BPE-ish regex split
+    (letters runs + digit runs + punctuation runs — the GPT-2-style
+    pre-tokenization shape, without the library dependency)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp) rows: the document's WINNOWING sketch — for every
+    sliding window of ``window`` consecutive word-k-gram hashes, keep the
+    window minimum; distinct minima form the sketch (Schleimer et al.'s
+    local fingerprinting: any sufficiently long match between two
+    documents is guaranteed to share a fingerprint).
+
+    Entirely relational — shingle hash (the cross-engine 60-bit md5
+    contract, dedup._shingle_hash60_col) → min OVER a ROWS window per doc
+    → distinct — so the operator is exactly SQL-oracle-able and runs in
+    whole-stage codegen except the posexplode."""
+    from pyspark.sql import Window as W
+
+    from libosmtools_spark.dedup.dedup import _shingle_hash60_col
+
+    sh = docs.select(
+        F.col(id_col),
+        F.posexplode(shingles_col(F.col(text_col), k)).alias("pos", "shingle"),
+    ).withColumn("h", _shingle_hash60_col(F.col("shingle")))
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, window - 1)
+    )
+    return (
+        sh.withColumn("fp", F.min("h").over(w))
+        # only windows fully inside the document (the trailing partial
+        # windows re-emit suffix minima; dropping them matches the paper's
+        # n-w+1 window count and keeps the SQL mirror trivial)
+        .withColumn("n_sh", F.count("*").over(W.partitionBy(id_col)))
+        .filter(F.col("pos") <= F.col("n_sh") - window)
+        .select(id_col, "fp")
+        .distinct()
+    )

@@ -478,3 +478,36 @@ class TestEmptyInputs:
         assert lsh_topk(emb).count() == 0
         assert cosine_dup_pairs(emb).count() == 0
         assert ivf_topk(emb).count() == 0
+
+
+class TestWinnowBPE:
+    def test_bpe_token_count(self, spark):
+        from libosmtools_spark.text.analysis import bpe_token_count_col
+
+        rows = [(0, "hello world42 foo-bar!!"), (1, ""), (2, "a1b2")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = docs.select("doc_id", bpe_token_count_col(F.col("text")).alias("n")).toPandas()
+        got = out.set_index("doc_id")["n"]
+        # hello | world | 42 | foo | - | bar | !! = 7 runs
+        assert got[0] == 7 and got[1] == 0 and got[2] == 4
+
+    def test_winnow_shared_substring_shares_fingerprint(self, spark):
+        """The winnowing guarantee: documents sharing a sufficiently long
+        run of tokens (longer than window + k) share at least one
+        fingerprint; unrelated docs share none."""
+        from libosmtools_spark.text.analysis import winnow_fingerprints
+
+        common = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+        rows = [
+            (0, f"prefix one two {common} suffix here"),
+            (1, f"other words entirely {common} trailing bits"),
+            (2, "completely unrelated vocabulary nothing matches at all ever"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = winnow_fingerprints(docs, k=3, window=4).toPandas()
+        by_doc = {d: set(g["fp"]) for d, g in fps.groupby("doc_id")}
+        assert by_doc[0] & by_doc[1], "shared run must share a fingerprint"
+        assert not (by_doc[0] & by_doc[2])
+        # sketch is smaller than the shingle count (that's the point)
+        n_sh0 = len(rows[0][1].split()) - 2
+        assert 0 < len(by_doc[0]) < n_sh0
