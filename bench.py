@@ -119,6 +119,8 @@ def bench_queries(spark, fixtures: str) -> dict[str, float]:
         "ann_cosine",
         "ann_lsh",
         "token_count",
+        "bpe_token_count",
+        "winnow",
         "lang_id",
         "events_window",
         "sessionize",
