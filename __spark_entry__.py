@@ -36,7 +36,7 @@ def _ensure_shipped(spark: SparkSession) -> None:
     --py-files posture of the north rule): driver-side sys.path does NOT
     propagate to workers, so a driver running from a foreign CWD would hit
     ModuleNotFoundError inside every pandas UDF without this."""
-    if id(spark) in _SHIPPED:
+    if spark.sparkContext.applicationId in _SHIPPED:
         return
     import tempfile
     import zipfile
@@ -51,12 +51,13 @@ def _ensure_shipped(spark: SparkSession) -> None:
                         full = os.path.join(root, fn)
                         z.write(full, os.path.relpath(full, REPO))
     spark.sparkContext.addPyFile(zpath)
-    _SHIPPED.add(id(spark))
+    _SHIPPED.add(spark.sparkContext.applicationId)
 
 LEVEL = 6
 MAX_LEVEL = 10  # adaptive-index boundary refinement depth (engine default)
 CELL = 180.0 / (1 << LEVEL)  # 2.8125°
 KNN_K = 5
+HOP_SPLIT_MAX_POINTS = 1000  # hop-BFS split threshold (q_hop_split + golden)
 
 # ---------------------------------------------------------------------------
 # derived deterministic points (identical in Spark Columns and DuckDB SQL)
@@ -162,16 +163,31 @@ def _oracle_region_rings(spark: SparkSession) -> DataFrame:
     )
 
 
+def _session_key(spark: SparkSession) -> str:
+    """Cache key for per-session artifacts: the Spark application id is
+    unique per context (unlike id(spark), which CPython can reuse after a
+    stopped session is collected — a stale broadcast under a dead context)."""
+    return spark.sparkContext.applicationId
+
+
+def _register_caches() -> None:
+    from libosmtools_spark.session import register_session_cache
+
+    for d in (_ENGINE_CACHE, _CAND_CACHE, _CELLS_CACHE, _ANTIM_CACHE):
+        register_session_cache(d)
+
+
 _ENGINE_CACHE: dict = {}
 
 
 def _engine(spark: SparkSession):
     """Build (once per session) the real spatial-engine artifacts for the
     oracle region store: broadcast rings + cell-coverage index."""
-    key = id(spark)
+    key = _session_key(spark)
     if key not in _ENGINE_CACHE:
         from libosmtools_spark.index.grid import build_adaptive_cell_index, rings_lookup
 
+        _register_caches()
         rings_df = _oracle_region_rings(spark)
         rings_bcast = spark.sparkContext.broadcast(rings_lookup(rings_df.toPandas()))
         # the engine-default ADAPTIVE mixed-level index (boundary cells
@@ -188,7 +204,7 @@ _CAND_CACHE: dict = {}
 def _candidates_bcast(spark: SparkSession):
     """cell_key → (region ids, full flags, clipped edges) broadcast for the
     zero-shuffle map join, built once per session from the oracle store."""
-    key = id(spark)
+    key = _session_key(spark)
     if key not in _CAND_CACHE:
         from libosmtools_spark.joins.mapjoin import build_cell_candidates
 
@@ -206,8 +222,9 @@ def _doc_cells_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(cell_key, cell_id, region_ids) over the distinct cells the derived
     points occupy — the real T4 dictionary operator.  Cached per
     (session, sf_dir): several queries share it."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _CELLS_CACHE:
+        _register_caches()
         from libosmtools_spark.cells.assign import build_cells_table
         from libosmtools_spark.joins.spatial import with_cell_key
 
@@ -217,6 +234,74 @@ def _doc_cells_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
             pts.select("cell_key"), cell_index, rings_bcast, LEVEL, MAX_LEVEL
         ).cache()
     return _CELLS_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# antimeridian region store (wrapped regions — Fiji/Chukotka class)
+# ---------------------------------------------------------------------------
+#
+# Regions that TOUCH or CROSS lon = ±180°, under the engine's
+# continuous-frame convention (geom/kernels.unwrap_rings): ring lons run
+# past +180 for a crossing region; region 2 is deliberately stored in
+# NORMALIZED jump form (178.. → -175..) to exercise the unwrap path end to
+# end.  Boundaries keep the .05-offset rule so no derived point (0.1 grid)
+# lies on one.  Kept SEPARATE from ORACLE_REGIONS so the non-wrapped
+# oracles stay byte-for-byte what they were.
+
+ANTIM_REGIONS: dict[int, list[tuple[str, list[tuple[float, float]]]]] = {
+    # crossing rect: lon ∈ (172.05, 187.95) ≡ (>172.05 OR < -172.05)
+    0: [("outer", [(-60.05, 172.05), (-60.05, 187.95), (60.05, 187.95), (60.05, 172.05), (-60.05, 172.05)])],
+    # crossing rect WITH a crossing hole
+    1: [
+        ("outer", [(-40.05, 168.05), (-40.05, 190.05), (-10.05, 190.05), (-10.05, 168.05), (-40.05, 168.05)]),
+        ("inner", [(-30.05, 175.05), (-30.05, 185.05), (-20.05, 185.05), (-20.05, 175.05), (-30.05, 175.05)]),
+    ],
+    # stored NORMALIZED (jump form): 176.05 → -175.95 means crossing to 184.05
+    2: [("outer", [(0.05, 176.05), (0.05, -175.95), (80.05, -175.95), (80.05, 176.05), (0.05, 176.05)])],
+    # near-the-line but NOT crossing (control: east side only)
+    3: [("outer", [(-60.05, 160.05), (-60.05, 179.95), (-50.05, 179.95), (-50.05, 160.05), (-60.05, 160.05)])],
+}
+
+#: SQL membership predicates for the wrapped store (the 360°-wrap spelled
+#: out as an OR of the two sides; strict inequalities exact per the
+#: .05-offset rule)
+_ANTIM_PRED = {
+    0: "({lat} > -60.05 AND {lat} < 60.05 AND ({lon} > 172.05 OR {lon} < -172.05))",
+    1: (
+        "({lat} > -40.05 AND {lat} < -10.05 AND ({lon} > 168.05 OR {lon} < -169.95)"
+        " AND NOT ({lat} > -30.05 AND {lat} < -20.05 AND ({lon} > 175.05 OR {lon} < -174.95)))"
+    ),
+    2: "({lat} > 0.05 AND {lat} < 80.05 AND ({lon} > 176.05 OR {lon} < -175.95))",
+    3: "({lat} > -60.05 AND {lat} < -50.05 AND {lon} > 160.05 AND {lon} < 179.95)",
+}
+
+
+_ANTIM_CACHE: dict = {}
+
+
+def _antim_engine(spark: SparkSession):
+    """(rings_df, rings_bcast, cell_index, candidates_bcast) for the wrapped
+    store — the same production artifacts as _engine, over ANTIM_REGIONS."""
+    key = _session_key(spark)
+    if key not in _ANTIM_CACHE:
+        from libosmtools_spark.index.grid import build_adaptive_cell_index, rings_lookup
+        from libosmtools_spark.joins.mapjoin import build_cell_candidates
+
+        _register_caches()
+        rows = []
+        for rid, rings in ANTIM_REGIONS.items():
+            for ring_id, (role, pts) in enumerate(rings):
+                rows.append((rid, ring_id, role, [{"lat": float(a), "lon": float(o)} for a, o in pts]))
+        rings_df = spark.createDataFrame(
+            rows, "region_id int, ring_id int, ring_role string, points array<struct<lat:double,lon:double>>"
+        )
+        rings_bcast = spark.sparkContext.broadcast(rings_lookup(rings_df.toPandas()))
+        cell_index = build_adaptive_cell_index(rings_df, LEVEL, MAX_LEVEL).cache()
+        cand = spark.sparkContext.broadcast(
+            build_cell_candidates(cell_index.toPandas(), rings_bcast.value)
+        )
+        _ANTIM_CACHE[key] = (rings_df, rings_bcast, cell_index, cand)
+    return _ANTIM_CACHE[key]
 
 
 # cell-key arithmetic shared with the oracle (single definition)
@@ -607,6 +692,51 @@ def q_flagship_map(spark, sf_dir):
     )
 
 
+def q_pip_antimeridian(spark, sf_dir):
+    """PIP join against regions touching/crossing lon = ±180° (the
+    round-3 'What's wrong #1' class) through the PRODUCTION adaptive path:
+    wrapped coverage keys + frame-shifted ray-cast."""
+    from libosmtools_spark.joins.spatial import spatial_join_adaptive, with_cell_key
+
+    rings_df, rings_bcast, cell_index, _ = _antim_engine(spark)
+    pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
+    hits = spatial_join_adaptive(pts, cell_index, rings_bcast, LEVEL, MAX_LEVEL)
+    return hits.select("doc_id", "region_id")
+
+
+def q_flagship_antimeridian(spark, sf_dir):
+    """The ZERO-shuffle map join over the wrapped store — verifies the
+    clipped-edge kernel's frame shift (mapInArrow path) end to end."""
+    from libosmtools_spark.joins.mapjoin import map_spatial_join
+    from libosmtools_spark.joins.spatial import with_cell_key
+
+    _, rings_bcast, _, cand = _antim_engine(spark)
+    pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
+    res = map_spatial_join(pts, cand, rings_bcast, id_col="doc_id")
+    return res.select(
+        "doc_id",
+        F.concat_ws(",", F.col("region_ids").cast("array<string>")).alias("region_set"),
+    )
+
+
+def q_hop_split(spark, sf_dir):
+    """T6 strict-parity hop-BFS cell splitting over the pages fixture
+    (oversized cells split by voronoi growth from max-hop generators,
+    /root/reference/src/OsmTriangulationRegionStore.cpp:593-759) — checked
+    against an independently generated golden (data/synth)."""
+    from libosmtools_spark.cells.hopsplit import split_oversized_cells_hopbfs
+    from libosmtools_spark.joins.spatial import geocode_pages, with_cell_key
+
+    fx = _fixtures_for(sf_dir)
+    pages = spark.read.parquet(f"{fx}/pages.parquet")
+    pts = with_cell_key(geocode_pages(pages), level=LEVEL).select("url", "lat", "lon", "cell_key")
+    cells = spark.read.parquet(f"{fx}/golden_page_cells.parquet").select("url", "cell_id")
+    out = split_oversized_cells_hopbfs(
+        pts.join(cells, "url"), max_points=HOP_SPLIT_MAX_POINTS, level=LEVEL, sub_levels=3
+    )
+    return out.select("url", F.col("cell_id").cast("long").alias("cell_id"), "refined_cell_id")
+
+
 # -- text / dedup / similarity ---------------------------------------------
 
 def q_token_count(spark, sf_dir):
@@ -875,6 +1005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_dual_graph": q_cell_dual_graph,
         "connected_components": q_connected_components,
         "flagship_map": q_flagship_map,
+        "pip_antimeridian": q_pip_antimeridian,
+        "flagship_antimeridian": q_flagship_antimeridian,
+        "hop_split": q_hop_split,
         # text / dedup / similarity / multimodal
         "token_count": q_token_count,
         "quality": q_quality,
@@ -1005,8 +1138,29 @@ def oracle_sql() -> dict[str, str]:
         v2r_parts.append(rect_cells(rid, a, c, b, d, hole))
     v2r_sql = "\nUNION ALL\n".join(v2r_parts)
 
+    antim_preds = {rid: p.format(lat="lat", lon="lon") for rid, p in _ANTIM_PRED.items()}
+    antim_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {rid} AS region_id FROM pts WHERE {antim_preds[rid]}"
+        for rid in sorted(ANTIM_REGIONS)
+    )
+
     out = {
         "pip_region_rows": f"WITH pts AS ({POINTS_CTE})\n{PIP_ROWS_SQL}",
+        "pip_antimeridian": f"WITH pts AS ({POINTS_CTE})\n{antim_rows}",
+        "flagship_antimeridian": f"""
+            WITH pts AS ({POINTS_CTE}),
+            hits AS ({antim_rows})
+            SELECT p.doc_id,
+                   coalesce(string_agg(h.region_id::varchar, ',' ORDER BY h.region_id), '') AS region_set
+            FROM pts p LEFT JOIN hits h ON p.doc_id = h.doc_id
+            GROUP BY p.doc_id
+        """,
+        # independently generated golden (data/synth.golden_hop_split_frame:
+        # plain-Python BFS re-implementation of the documented tie rules)
+        "hop_split": f"""
+            SELECT url, cell_id, refined_cell_id
+            FROM read_parquet('{REPO}/fixtures/sf0.01/golden_hop_split.parquet')
+        """,
         "region_cells": f"""
             WITH {CELL_SETS_CTE}
             SELECT h.region_id, h.cell_key, CAST(cf.cell_id AS BIGINT) AS cell_id

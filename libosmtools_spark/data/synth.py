@@ -273,6 +273,144 @@ def golden_frames(pages: pd.DataFrame, specs=None, level: int = FIXTURE_LEVEL):
     return out
 
 
+def golden_hop_split_frame(
+    pages: pd.DataFrame,
+    golden_page_cells: pd.DataFrame,
+    max_points: int = 1000,
+    level: int = FIXTURE_LEVEL,
+    sub_levels: int = 3,
+    split_per_run: int = 2,
+) -> pd.DataFrame:
+    """Independent plain-Python generator of the hop-BFS cell-split golden
+    (url, cell_id, refined_cell_id) — re-implements the documented T6
+    contract (/root/reference/src/OsmTriangulationRegionStore.cpp:593-759)
+    with lists/dicts instead of the engine's vectorized path
+    (cells/hopsplit.py).  The deterministic tie rules ARE part of the
+    contract being pinned: units sorted by sub-key; BFS layer order; first
+    index wins argmax ties; generator ids assigned by sorted unit order."""
+    lats, lons = extract_geo(pages["text"])
+    sub = K.cell_key(lats, lons, level + sub_levels)
+    nlon_sub = 2 << (level + sub_levels)
+    cid_of = dict(zip(golden_page_cells["url"], golden_page_cells["cell_id"]))
+    rows = list(zip(pages["url"], (int(cid_of[u]) for u in pages["url"]), sub.tolist()))
+
+    by_cid: dict[int, list] = {}
+    for u, cid, s in rows:
+        by_cid.setdefault(cid, []).append((u, s))
+
+    def bfs(adj, start):
+        n = len(adj)
+        dist = [-1] * n
+        dist[start] = 0
+        frontier = [start]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if dist[v] < 0:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    def first_argmax(xs):
+        best = 0
+        for j in range(1, len(xs)):
+            if xs[j] > xs[best]:
+                best = j
+        return best
+
+    def multi_source(adj, sources):
+        n = len(adj)
+        dist = [-1] * n
+        owner = [-1] * n
+        frontier = []
+        for gi, s in enumerate(sorted(sources)):
+            dist[s] = 0
+            owner[s] = gi
+            frontier.append(s)
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if dist[v] < 0:
+                        dist[v] = dist[u] + 1
+                        owner[v] = owner[u]
+                        nxt.append(v)
+            frontier = nxt
+        return owner, dist
+
+    out_urls, out_cids, out_ref = [], [], []
+    for cid, members in by_cid.items():
+        if len(members) <= max_points:
+            for u, _ in members:
+                out_urls.append(u)
+                out_cids.append(cid)
+                out_ref.append(str(cid))
+            continue
+        units = sorted({s for _, s in members})
+        idx = {s: i for i, s in enumerate(units)}
+        pos = {}
+        for s in units:
+            k = int(s)
+            iy = (k >> 28) & ((1 << 27) - 1)
+            ix = k & ((1 << 28) - 1)
+            pos[(iy, ix)] = idx[s]
+        adj = []
+        for s in units:
+            k = int(s)
+            iy = (k >> 28) & ((1 << 27) - 1)
+            ix = k & ((1 << 28) - 1)
+            nbrs = []
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                j = pos.get((iy + dy, (ix + dx) % nlon_sub))
+                if j is not None:
+                    nbrs.append(j)
+            adj.append(nbrs)
+        n = len(units)
+        # max-hop generator pair — mirrors hopsplit.max_hop_pair including
+        # the strict-greater update and the exact/approx switch (the
+        # reference's 50k-face cutoff, scaled to the in-UDF practical 2000)
+        if n <= 1:
+            u0, v0 = 0, 0
+        elif n <= 2000:
+            best = (0, 0, 0)
+            for s in range(n):
+                d = bfs(adj, s)
+                far = first_argmax(d)
+                if d[far] > best[2]:
+                    best = (s, far, d[far])
+            u0, v0 = best[0], best[1]
+        else:
+            rng = np.random.default_rng(42)
+            best = (0, 0, 0)
+            for _ in range(10):
+                s = int(rng.integers(0, n))
+                d1 = bfs(adj, s)
+                uu = first_argmax(d1)
+                d2 = bfs(adj, uu)
+                vv = first_argmax(d2)
+                if d2[vv] > best[2]:
+                    best = (uu, vv, d2[vv])
+            u0, v0 = best[0], best[1]
+        gens = [u0, v0]
+        while len(gens) < split_per_run + 1 and len(gens) < n:
+            _, dist = multi_source(adj, gens)
+            cand = first_argmax(dist)
+            if dist[cand] <= 0:
+                break
+            gens.append(cand)
+        owner, _ = multi_source(adj, gens)
+        owner = [0 if o < 0 else o for o in owner]
+        for u, s in members:
+            out_urls.append(u)
+            out_cids.append(cid)
+            out_ref.append(f"{cid}.{owner[idx[s]]}")
+    return pd.DataFrame({"url": out_urls, "cell_id": out_cids, "refined_cell_id": out_ref})
+
+
 # ---------------------------------------------------------------------------
 # extraction-phase inputs (nodes / ways / relations)
 # ---------------------------------------------------------------------------
@@ -510,8 +648,10 @@ def write_fixtures(sf: str, root: str | None = None) -> str:
     w(regions, "regions", map_cols=("tags",))
     w(rings, "region_rings")
 
-    for name, df in golden_frames(pages).items():
+    goldens = golden_frames(pages)
+    for name, df in goldens.items():
         w(df, name)
+    w(golden_hop_split_frame(pages, goldens["golden_page_cells"]), "golden_hop_split")
 
     nodes, ways, rels = osm_frames()
     w(nodes, "nodes")
@@ -525,7 +665,12 @@ def write_fixtures(sf: str, root: str | None = None) -> str:
 
 def ensure_fixtures(sf: str, root: str | None = None) -> str:
     out = fixtures_dir(sf, root)
-    if not os.path.exists(os.path.join(out, "pages.parquet")):
+    # golden_hop_split is the newest artifact — its absence means the dir
+    # predates round 4 and must be regenerated as a whole
+    if not all(
+        os.path.exists(os.path.join(out, f"{n}.parquet"))
+        for n in ("pages", "golden_hop_split")
+    ):
         write_fixtures(sf, root)
     return out
 

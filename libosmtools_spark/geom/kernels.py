@@ -303,11 +303,16 @@ def clip_edges_for_cell(edges: np.ndarray, min_lat, max_lat, min_lon) -> np.ndar
 def point_in_edges(lats, lons, edges: np.ndarray):
     """Ray-cast parity against an explicit (k,4) edge set (same half-open
     rule as point_in_ring).  Callers are responsible for the edge set being
-    parity-preserving for these points (see clip_edges_for_cell)."""
+    parity-preserving for these points (see clip_edges_for_cell).  Probe
+    lons are shifted into the edges' continuous frame when the edges came
+    from an antimeridian-wrapped region (identity otherwise)."""
     ys = np.asarray(lats, dtype=np.float64)
     xs = np.asarray(lons, dtype=np.float64)
     if edges.shape[0] == 0:
         return np.zeros(ys.shape[0], dtype=bool)
+    elo = float(min(edges[:, 1].min(), edges[:, 3].min()))
+    ehi = float(max(edges[:, 1].max(), edges[:, 3].max()))
+    xs = wrap_lons_to_frame(xs, elo, ehi)
     y1 = edges[:, 0][None, :]
     x1 = edges[:, 1][None, :]
     y2 = edges[:, 2][None, :]
@@ -330,9 +335,16 @@ def point_in_rings(lats, lons, outer_rings, inner_rings=()):
     inner (/root/reference/include/osmtools/OsmGridRegionTree.h:34-63 —
     multipolygon = outer list + inner list).
 
-    ``outer_rings`` / ``inner_rings``: sequences of (m,2) arrays.
+    ``outer_rings`` / ``inner_rings``: sequences of (m,2) arrays in the
+    continuous-frame convention (see unwrap_rings).  Probe lons are shifted
+    into the rings' frame when the region wraps the antimeridian — identity
+    (same array object) otherwise, so non-wrapped results stay bit-exact.
     """
     n = len(np.asarray(lats, dtype=np.float64))
+    all_r = list(outer_rings) + list(inner_rings)
+    if all_r:
+        lo, hi = lon_frame(all_r)
+        lons = wrap_lons_to_frame(lons, lo, hi)
     inside = np.zeros(n, dtype=bool)
     for ring in outer_rings:
         inside |= point_in_ring(lats, lons, ring)
@@ -382,16 +394,179 @@ def segment_intersects_rect(y1, x1, y2, x2, min_lat, max_lat, min_lon, max_lon):
 
 def crosses_antimeridian(lon1, lon2):
     """True where a segment crosses the ±180° line — such segments are
-    skipped in the index build, mirroring
-    /root/reference/src/OsmTriangulationRegionStore.cpp:819-822."""
+    skipped in the reference's CDT segment extraction
+    (/root/reference/src/OsmTriangulationRegionStore.cpp:819-822).  The
+    reference applies this ONLY when extracting triangulation constraint
+    segments; the region itself still participates in every query.  The
+    coverage/PIP kernels below therefore do NOT use this guard — they
+    handle wrapped regions via the continuous-frame convention
+    (unwrap_rings) instead."""
     lon1 = norm_lon(lon1)
     lon2 = norm_lon(lon2)
     return np.abs(lon1 - lon2) > 180.0
 
 
 # ---------------------------------------------------------------------------
+# antimeridian handling: the continuous-frame convention
+# ---------------------------------------------------------------------------
+#
+# A ring that crosses the ±180° line is represented in a CONTINUOUS
+# longitude frame: consecutive vertices are always < 180° apart, so a
+# Fiji-class ring runs e.g. 178 → 182 (not 178 → -178).  ``unwrap_rings``
+# canonicalizes any input into this form (identity — same objects, zero
+# copies — for rings already inside [-180, 180], which keeps every
+# non-wrapped result bit-exact).  Coverage enumerates grid columns in the
+# unwrapped frame and wraps the packed key's ix modulo nlon; query-time
+# ray-casts shift probe lons into the ring's frame (wrap_lons_to_frame —
+# again identity off the antimeridian).  Rings are assumed to span < 360°
+# of longitude and to have true vertex steps < 180° (admin-boundary
+# geometry; a ring legitimately wider than 180° per edge cannot be
+# distinguished from a wrap).
+
+
+def _unwrap_one(ring: np.ndarray) -> np.ndarray:
+    """Make one ring's longitudes continuous (consecutive steps < 180°).
+    Returns the input object unchanged when already continuous."""
+    lons = ring[:, 1]
+    d = np.diff(lons)
+    if not (np.abs(d) > 180.0).any():
+        return ring
+    adj = np.cumsum(np.where(d > 180.0, -360.0, np.where(d < -180.0, 360.0, 0.0)))
+    out = ring.copy()
+    out[1:, 1] = lons[1:] + adj
+    return out
+
+
+def unwrap_rings(outer_rings, inner_rings=()):
+    """Canonicalize a polygon-with-holes into the continuous-frame
+    convention: every ring's lons continuous, all rings aligned to one
+    common frame (holes shifted by ±360 next to their outer), the whole
+    frame recentered so its midpoint lies in [-180, 180).
+
+    Identity (same list elements, no copies) for geometry already inside
+    [-180, 180] — the bit-exactness guarantee the oracle fixtures rely on.
+    """
+    outs = [_unwrap_one(np.asarray(r, dtype=np.float64)) for r in outer_rings]
+    inns = [_unwrap_one(np.asarray(r, dtype=np.float64)) for r in inner_rings]
+    if not outs and not inns:
+        return outs, inns
+    ref = (outs or inns)[0]
+    ref_mid = (float(ref[:, 1].min()) + float(ref[:, 1].max())) / 2.0
+
+    def align(ring):
+        mid = (float(ring[:, 1].min()) + float(ring[:, 1].max())) / 2.0
+        k = np.round((ref_mid - mid) / 360.0)
+        if k != 0.0:
+            ring = ring.copy()
+            ring[:, 1] += 360.0 * k
+        return ring
+
+    outs = [align(r) for r in outs]
+    inns = [align(r) for r in inns]
+    lo = min(float(r[:, 1].min()) for r in outs + inns)
+    hi = max(float(r[:, 1].max()) for r in outs + inns)
+    if lo >= -180.0 and hi <= 180.0:
+        return outs, inns
+    # recenter the frame midpoint into [-180, 180)
+    k = np.floor(((lo + hi) / 2.0 + 180.0) / 360.0)
+    if k != 0.0:
+        outs = [np.concatenate([r[:, :1], r[:, 1:] - 360.0 * k], axis=1) for r in outs]
+        inns = [np.concatenate([r[:, :1], r[:, 1:] - 360.0 * k], axis=1) for r in inns]
+    return outs, inns
+
+
+def lon_frame(rings) -> tuple[float, float]:
+    """(min, max) longitude over a list of continuous-frame rings."""
+    lo = min(float(r[:, 1].min()) for r in rings)
+    hi = max(float(r[:, 1].max()) for r in rings)
+    return lo, hi
+
+
+def wrap_lons_to_frame(lons, lo: float, hi: float):
+    """Shift each lon by the multiple of 360° that lands it nearest the
+    frame midpoint.  Identity (the SAME array object — bit-exact) when the
+    frame lies inside [-180, 180]: only antimeridian-wrapped geometry pays
+    anything, and off-frame points get +0.0 exactly."""
+    if lo >= -180.0 and hi <= 180.0:
+        return lons
+    mid = (lo + hi) / 2.0
+    lons = np.asarray(lons, dtype=np.float64)
+    return lons + 360.0 * np.round((mid - lons) / 360.0)
+
+
+# ---------------------------------------------------------------------------
 # region coverage (G4 index build kernel)
 # ---------------------------------------------------------------------------
+
+def _coverage_segments(all_rings):
+    """(y1, x1, y2, x2) boundary-segment arrays of continuous-frame rings.
+    No antimeridian guard here: in the continuous frame no segment jumps
+    across the world, and dropping segments would (and, before round 4,
+    did) erase whole wrapped regions from the index — the reference skips
+    crossing segments only in CDT constraint extraction
+    (/root/reference/src/OsmTriangulationRegionStore.cpp:819-822), not in
+    region coverage."""
+    return (
+        np.concatenate([r[:-1, 0] for r in all_rings]),
+        np.concatenate([r[:-1, 1] for r in all_rings]),
+        np.concatenate([r[1:, 0] for r in all_rings]),
+        np.concatenate([r[1:, 1] for r in all_rings]),
+    )
+
+
+def _grid_span(all_rings, level: int):
+    """Unwrapped-frame grid span of the rings' bbox at ``level``:
+    (iy_lo, iy_hi, ix_lo, ix_hi, nlat, nlon).  iy is clamped to the
+    domain; ix is NOT — it indexes the continuous frame and may run past
+    nlon-1 (or below 0) for wrapped regions; pack time wraps it modulo
+    nlon.  The hi edges use ceil-1 so a bbox corner exactly ON a cell
+    boundary does not pull in the touch-only next cell (this is what made
+    lon=+180 wrap to column 0 and empty the whole range)."""
+    pts = np.vstack(all_rings)
+    min_lat, max_lat = pts[:, 0].min(), pts[:, 0].max()
+    min_lon, max_lon = pts[:, 1].min(), pts[:, 1].max()
+    nlat = np.int64(1) << level
+    nlon = np.int64(2) << level
+    # same float expression shape as cell_key (divide by the domain, then
+    # multiply by the power-of-two count) — bit-identical binning
+    iy_lo = int(np.clip(np.floor((min_lat + 90.0) / 180.0 * nlat), 0, nlat - 1))
+    iy_hi = int(np.clip(np.ceil((max_lat + 90.0) / 180.0 * nlat) - 1, 0, nlat - 1))
+    ix_lo = int(np.floor((min_lon + 180.0) / 360.0 * nlon))
+    ix_hi = int(np.ceil((max_lon + 180.0) / 360.0 * nlon) - 1)
+    iy_hi = max(iy_hi, iy_lo)
+    ix_hi = max(ix_hi, ix_lo)
+    if ix_hi - ix_lo + 1 > int(nlon):  # ≥360° of longitude: one full band
+        ix_hi = ix_lo + int(nlon) - 1
+    return iy_lo, iy_hi, ix_lo, ix_hi, nlat, nlon
+
+
+def _classify_cells(iy, ix, level: int, outer_rings, inner_rings, segs):
+    """(center_in, touched) for cells given by UNWRAPPED (iy, ix) arrays at
+    ``level`` — all geometry in the rings' continuous frame.  Bounds use
+    the exact float ops of cell_bounds/cell_center so in-range results are
+    bit-identical to the packed-key path."""
+    size = 180.0 / float(np.int64(1) << level)
+    min_lat = iy.astype(np.float64) * size - 90.0
+    max_lat = min_lat + size
+    min_lon = ix.astype(np.float64) * size - 180.0
+    max_lon = min_lon + size
+    clat = (min_lat + max_lat) / 2.0
+    clon = (min_lon + max_lon) / 2.0
+    center_in = point_in_rings(clat, clon, outer_rings, inner_rings)
+    seg_y1, seg_x1, seg_y2, seg_x2 = segs
+    touched = np.zeros(iy.shape, dtype=bool)
+    # batched segment-vs-rect: (segments × cell-chunk) broadcast, chunked
+    # to bound temporaries (a per-cell Python loop dominated the build)
+    ch = max(1, 4_000_000 // max(len(seg_y1), 1))
+    for i0 in range(0, iy.size, ch):
+        sl = slice(i0, min(i0 + ch, iy.size))
+        touched[sl] = segment_intersects_rect(
+            seg_y1[:, None], seg_x1[:, None], seg_y2[:, None], seg_x2[:, None],
+            min_lat[sl][None, :], max_lat[sl][None, :],
+            min_lon[sl][None, :], max_lon[sl][None, :],
+        ).any(axis=0)
+    return center_in, touched
+
 
 def covering_cells(outer_rings, inner_rings, level: int):
     """Cells at ``level`` overlapping a polygon-with-holes, classified
@@ -403,41 +578,25 @@ def covering_cells(outer_rings, inner_rings, level: int):
     /root/reference/include/osmtools/OsmGridRegionTree.h:109-120).
     Classification is conservative: a cell is 'full' only if its center is
     inside AND no boundary segment of any ring intersects the cell rect.
+
+    Antimeridian-wrapped regions are handled via the continuous-frame
+    convention (unwrap_rings): columns are enumerated in the unwrapped
+    frame and the packed key's ix wraps modulo nlon, so a Fiji/Chukotka
+    region covers cells on BOTH sides of ±180°.
     """
+    outer_rings, inner_rings = unwrap_rings(outer_rings, inner_rings)
     all_rings = list(outer_rings) + list(inner_rings)
-    pts = np.vstack(all_rings)
-    min_lat, max_lat = pts[:, 0].min(), pts[:, 0].max()
-    min_lon, max_lon = pts[:, 1].min(), pts[:, 1].max()
-
-    k_lo = cell_key(np.array([min_lat]), np.array([min_lon]), level)[0]
-    k_hi = cell_key(np.array([max_lat]), np.array([max_lon]), level)[0]
-    _, iy_lo, ix_lo = unpack_key(k_lo)
-    _, iy_hi, ix_hi = unpack_key(k_hi)
-    ys = np.arange(int(iy_lo), int(iy_hi) + 1, dtype=np.int64)
-    xs = np.arange(int(ix_lo), int(ix_hi) + 1, dtype=np.int64)
+    iy_lo, iy_hi, ix_lo, ix_hi, _nlat, nlon = _grid_span(all_rings, level)
+    ys = np.arange(iy_lo, iy_hi + 1, dtype=np.int64)
+    xs = np.arange(ix_lo, ix_hi + 1, dtype=np.int64)
     yy, xx = np.meshgrid(ys, xs, indexing="ij")
-    keys = pack_key(level, yy.ravel(), xx.ravel())
-    if keys.size == 0:
-        return keys, np.zeros(0, dtype=bool)
+    iy, ix = yy.ravel(), xx.ravel()
+    if iy.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
 
-    clat, clon = cell_center(keys)
-    center_in = point_in_rings(clat, clon, outer_rings, inner_rings)
-
-    # boundary segments (all rings form the boundary)
-    seg_y1 = np.concatenate([r[:-1, 0] for r in all_rings])
-    seg_x1 = np.concatenate([r[:-1, 1] for r in all_rings])
-    seg_y2 = np.concatenate([r[1:, 0] for r in all_rings])
-    seg_x2 = np.concatenate([r[1:, 1] for r in all_rings])
-    keep = ~crosses_antimeridian(seg_x1, seg_x2)  # antimeridian guard
-    seg_y1, seg_x1, seg_y2, seg_x2 = seg_y1[keep], seg_x1[keep], seg_y2[keep], seg_x2[keep]
-
-    b = cell_bounds(keys)
-    touched = np.zeros(keys.shape, dtype=bool)
-    for i in range(keys.size):
-        touched[i] = segment_intersects_rect(
-            seg_y1, seg_x1, seg_y2, seg_x2, b[0][i], b[1][i], b[2][i], b[3][i]
-        ).any()
-
+    segs = _coverage_segments(all_rings)
+    center_in, touched = _classify_cells(iy, ix, level, outer_rings, inner_rings, segs)
+    keys = pack_key(level, iy, ix % nlon)
     full = center_in & ~touched
     # a cell overlaps the region iff its center is inside OR boundary touches it
     overlap = center_in | touched
@@ -453,54 +612,45 @@ def adaptive_covering_cells(outer_rings, inner_rings, base_level: int, max_level
 
     Returns (keys int64[], full bool[]) with keys at MIXED levels; the
     coverage cells partition the region (disjoint across levels), so a
-    point matches at most one coverage cell per region.
+    point matches at most one coverage cell per region.  The recursion runs
+    entirely in the rings' continuous frame (unwrapped iy/ix — consistent
+    across levels since child ix = 2·ix + dx commutes with the wrap); keys
+    wrap modulo nlon only at pack time.
     """
-    keys, full = covering_cells(outer_rings, inner_rings, base_level)
-    out_keys = [keys[full]]
-    out_full = [np.ones(int(full.sum()), dtype=bool)]
-    partial = keys[~full]
-
+    outer_rings, inner_rings = unwrap_rings(outer_rings, inner_rings)
     all_rings = list(outer_rings) + list(inner_rings)
-    seg_y1 = np.concatenate([r[:-1, 0] for r in all_rings])
-    seg_x1 = np.concatenate([r[:-1, 1] for r in all_rings])
-    seg_y2 = np.concatenate([r[1:, 0] for r in all_rings])
-    seg_x2 = np.concatenate([r[1:, 1] for r in all_rings])
-    keep = ~crosses_antimeridian(seg_x1, seg_x2)
-    seg_y1, seg_x1, seg_y2, seg_x2 = seg_y1[keep], seg_x1[keep], seg_y2[keep], seg_x2[keep]
+    iy_lo, iy_hi, ix_lo, ix_hi, _nlat, nlon = _grid_span(all_rings, base_level)
+    ys = np.arange(iy_lo, iy_hi + 1, dtype=np.int64)
+    xs = np.arange(ix_lo, ix_hi + 1, dtype=np.int64)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    iy, ix = yy.ravel(), xx.ravel()
+    segs = _coverage_segments(all_rings)
 
+    out_keys: list[np.ndarray] = []
+    out_full: list[np.ndarray] = []
     level = base_level
-    while level < max_level and partial.size:
-        # vectorized 2x2 split of every partial cell at once
-        _, iy, ix = unpack_key(partial)
-        dy, dx = np.meshgrid([0, 1], [0, 1], indexing="ij")
-        children = pack_key(
-            level + 1,
-            (iy * 2)[:, None] + dy.ravel()[None, :],
-            (ix * 2)[:, None] + dx.ravel()[None, :],
-        ).ravel()
-        clat, clon = cell_center(children)
-        center_in = point_in_rings(clat, clon, outer_rings, inner_rings)
-        b = cell_bounds(children)
-        # batched segment-vs-rect: (segments × cell-chunk) broadcast, chunked
-        # to bound temporaries (a per-child Python loop dominated the build)
-        touched = np.zeros(children.shape, dtype=bool)
-        ch = max(1, 4_000_000 // max(len(seg_y1), 1))
-        for i0 in range(0, children.size, ch):
-            sl = slice(i0, min(i0 + ch, children.size))
-            touched[sl] = segment_intersects_rect(
-                seg_y1[:, None], seg_x1[:, None], seg_y2[:, None], seg_x2[:, None],
-                b[0][sl][None, :], b[1][sl][None, :], b[2][sl][None, :], b[3][sl][None, :],
-            ).any(axis=0)
-        overlap = center_in | touched
+    while True:
+        if iy.size == 0:
+            break
+        center_in, touched = _classify_cells(iy, ix, level, outer_rings, inner_rings, segs)
         is_full = center_in & ~touched
-        out_keys.append(children[overlap & is_full])
-        out_full.append(np.ones(int((overlap & is_full).sum()), dtype=bool))
-        partial = children[overlap & ~is_full]
+        overlap = center_in | touched
+        keys = pack_key(level, iy, ix % (np.int64(2) << level))
+        out_keys.append(keys[is_full])
+        out_full.append(np.ones(int(is_full.sum()), dtype=bool))
+        part = overlap & ~is_full
+        if level >= max_level:  # max_level partial leaves stay candidates
+            out_keys.append(keys[part])
+            out_full.append(np.zeros(int(part.sum()), dtype=bool))
+            break
+        # vectorized 2x2 split of every partial cell at once
+        piy, pix = iy[part], ix[part]
+        dy, dx = np.meshgrid([0, 1], [0, 1], indexing="ij")
+        iy = ((piy * 2)[:, None] + dy.ravel()[None, :]).ravel()
+        ix = ((pix * 2)[:, None] + dx.ravel()[None, :]).ravel()
         level += 1
-
-    if partial.size:  # max_level partial leaves stay candidates
-        out_keys.append(partial)
-        out_full.append(np.zeros(partial.size, dtype=bool))
+    if not out_keys:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
     return np.concatenate(out_keys), np.concatenate(out_full)
 
 

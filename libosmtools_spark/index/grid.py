@@ -78,11 +78,16 @@ def rings_lookup(region_rings_pdf: pd.DataFrame) -> dict:
     """Driver-side: region_id → (outer rings, inner rings) numpy arrays, for
     broadcasting into the PIP-refine UDF.  The polygon store is
     dimension-scale (admin boundaries ~1e5 rings at planet scale — well under
-    broadcast limits once encoded as float64 arrays)."""
+    broadcast limits once encoded as float64 arrays).
+
+    Rings are canonicalized into the continuous-longitude frame
+    (kernels.unwrap_rings — identity for non-wrapped regions) so the
+    ray-cast kernels can frame-shift probe points of antimeridian-crossing
+    regions; storage may hold either continuous or normalized lons."""
     out: dict[int, tuple[list, list]] = {}
     for rid, grp in region_rings_pdf.groupby("region_id"):
         outers, inners = _rings_of_group(grp)
-        out[int(rid)] = (outers, inners)
+        out[int(rid)] = K.unwrap_rings(outers, inners)
     return out
 
 

@@ -57,7 +57,8 @@ def build_cell_candidates(cell_index_pdf: pd.DataFrame, rings: dict | None = Non
     word = rid // 63
     bit_val = np.int64(1) << (rid % 63).astype(np.int64)
 
-    region_edges: dict[int, np.ndarray] = {}  # stacked once per REGION, not per cell
+    # (edges, lon_lo, lon_hi) stacked once per REGION, not per cell
+    region_edges: dict[int, tuple] = {}
 
     levels: dict[int, tuple] = {}
     lv_of = ck >> K._LEVEL_SHIFT
@@ -82,14 +83,25 @@ def build_cell_candidates(cell_index_pdf: pd.DataFrame, rings: dict | None = Non
             r = int(srid[row])
             cl = None
             if rings is not None:
-                edges = region_edges.get(r)
-                if edges is None:
+                cached = region_edges.get(r)
+                if cached is None:
                     outers, inners = rings[r]
-                    edges = region_edges[r] = np.vstack(
+                    arr = np.vstack(
                         [K.ring_edges(rr) for rr in list(outers) + list(inners)]
                     )
-                min_lat, max_lat, min_lon, _ = K.cell_bounds(np.int64(uniq[g]))
-                cl = K.clip_edges_for_cell(edges, float(min_lat), float(max_lat), float(min_lon))
+                    elo = float(min(arr[:, 1].min(), arr[:, 3].min()))
+                    ehi = float(max(arr[:, 1].max(), arr[:, 3].max()))
+                    cached = region_edges[r] = (arr, elo, ehi)
+                arr, elo, ehi = cached
+                min_lat, max_lat, min_lon, max_lon = K.cell_bounds(np.int64(uniq[g]))
+                # shift the cell's lon window into the region's continuous
+                # frame (antimeridian-wrapped regions store lons past ±180;
+                # identity — shift 0.0 — for everything else)
+                c = (float(min_lon) + float(max_lon)) / 2.0
+                cw = float(np.asarray(K.wrap_lons_to_frame(np.array([c]), elo, ehi))[0])
+                cl = K.clip_edges_for_cell(
+                    arr, float(min_lat), float(max_lat), float(min_lon) + (cw - c)
+                )
             if part_payload[g] is None:
                 part_payload[g] = []
             part_payload[g].append((r, cl))
@@ -122,8 +134,16 @@ def map_spatial_join(
     integer vector ops, no Python-object strings in the hot path (string
     assembly doubled CPU time at high thread counts from memory stalls).
     Masks are decoded to sorted region-id arrays JVM-side."""
+    built = candidates_bcast.value["n_regions"]
     if n_regions is None:
-        n_regions = candidates_bcast.value["n_regions"]
+        n_regions = built
+    elif n_regions != built:
+        # the mask geometry (n_words) is baked into the prebuilt full_masks
+        # arrays: a larger override would read past them, a smaller one
+        # would silently truncate high region ids
+        raise ValueError(
+            f"n_regions={n_regions} does not match the broadcast index build ({built})"
+        )
     n_words = max(1, (n_regions + 62) // 63)
     dtypes = dict(points.dtypes)
     id_type = dtypes[id_col]

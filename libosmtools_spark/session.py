@@ -47,18 +47,45 @@ def get_spark(
     return spark
 
 
+#: per-session artifact caches (engine broadcasts, cell dictionaries, …)
+#: registered by their owners; stop_spark clears them so a long-lived
+#: process cycling many sessions does not accumulate dead broadcasts
+_SESSION_CACHES: list = []
+
+
+def register_session_cache(cache) -> None:
+    """Register a dict/set of per-session artifacts to be cleared by
+    stop_spark.  Idempotent (identity-deduplicated)."""
+    if not any(c is cache for c in _SESSION_CACHES):
+        _SESSION_CACHES.append(cache)
+
+
+def clear_session_caches() -> None:
+    for cache in _SESSION_CACHES:
+        cache.clear()
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+    clear_session_caches()
 
 
-def release_local_checkpoint(df) -> None:
+def release_local_checkpoint(df) -> bool:
     """Free the block storage behind a ``localCheckpoint(eager=True)`` result
     once the caller is done with it.  Spark exposes no public unpersist for
     checkpointed Datasets (the blocks are reclaimed only when the JVM GC
     collects the plan); long-lived sessions issuing many queries should
-    release explicitly instead of waiting for GC."""
+    release explicitly instead of waiting for GC.
+
+    Returns True iff an RDD was actually unpersisted: the py4j reach-in
+    (queryExecution().analyzed() being a bare ``LogicalRDD`` — verified on
+    Spark 4.1) only applies to the DataFrame returned by localCheckpoint
+    itself, NOT to derived plans (select/filter over it), for which this is
+    a no-op and the caller should release the original frame instead."""
     plan = df._jdf.queryExecution().analyzed()
     if plan.getClass().getName().endswith("LogicalRDD"):
         plan.rdd().unpersist(False)
+        return True
+    return False

@@ -53,10 +53,28 @@ def test_entry_smoke(spark):
 @pytest.mark.parametrize(
     "name",
     ["pip_region_rows", "pip_region_sets", "cell_assign", "cells_dict", "knn",
-     "vector_to_raster", "token_count", "fingerprint", "events_window", "sessionize"],
+     "vector_to_raster", "token_count", "fingerprint", "events_window", "sessionize",
+     "pip_antimeridian", "flagship_antimeridian"],
 )
 def test_oracle_match(spark, duck, name):
     _match(spark, duck, name)
+
+
+def test_session_caches_registered_and_clearable(spark):
+    """Per-session engine caches are registered with the session module and
+    empty out on clear_session_caches (the stop_spark hook) — a process
+    cycling many sessions does not accumulate dead broadcasts; rebuilding
+    afterwards works."""
+    from libosmtools_spark import session as S
+
+    entry._engine(spark)
+    entry._antim_engine(spark)
+    assert entry._ENGINE_CACHE and entry._ANTIM_CACHE
+    assert any(c is entry._ENGINE_CACHE for c in S._SESSION_CACHES)
+    S.clear_session_caches()
+    assert not entry._ENGINE_CACHE and not entry._ANTIM_CACHE and not entry._CELLS_CACHE
+    entry._engine(spark)  # rebuild after eviction works
+    assert len(entry._ENGINE_CACHE) == 1
 
 
 def test_all_queries_have_unique_names(spark):

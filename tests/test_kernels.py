@@ -137,6 +137,64 @@ class TestAntimeridian:
         assert not K.crosses_antimeridian([10.0], [11.0])[0]
         assert not K.crosses_antimeridian([179.0], [179.9])[0]
 
+    def test_unwrap_identity_for_normal_rings(self):
+        ring = K.rect_ring(0.0, 10.0, 5.0, 20.0)
+        outs, inns = K.unwrap_rings([ring], [])
+        assert outs[0] is ring  # same object — bit-exact passthrough
+
+    def test_unwrap_normalized_crossing_ring(self):
+        # ring stored NORMALIZED (jump form): 178 → -178 means crossing
+        ring = np.array(
+            [[0.0, 178.0], [0.0, -178.0], [5.0, -178.0], [5.0, 178.0], [0.0, 178.0]]
+        )
+        outs, _ = K.unwrap_rings([ring], [])
+        lons = outs[0][:, 1]
+        assert (np.abs(np.diff(lons)) < 180.0).all()
+        # continuous frame extends past the ±180 line on one side
+        assert lons.max() > 180.0 or lons.min() < -180.0
+
+    def test_touching_region_has_coverage(self):
+        # the round-3 hole: rect reaching exactly +180 lost ALL cells
+        ring = K.rect_ring(0.0, 175.0, 1.0, 180.0)
+        keys, _ = K.covering_cells([ring], [], 6)
+        assert keys.size > 0
+        probe = K.cell_key(np.array([0.5]), np.array([177.5]), 6)
+        assert np.isin(probe, keys).all()
+
+    def test_crossing_region_covers_both_sides(self):
+        ring = K.rect_ring(10.0, 172.0, 20.0, 188.0)  # crosses: 172 → -172
+        for keys, full in (
+            K.covering_cells([ring], [], 6),
+            K.adaptive_covering_cells([ring], [], 6, 9),
+        ):
+            assert keys.size > 0
+            _, _, ix = K.unpack_key(keys)
+            lvl = keys >> K._LEVEL_SHIFT
+            # wrapped keys are in-range at every level
+            assert (ix < (np.int64(2) << lvl)).all() and (ix >= 0).all()
+            # probe points on both sides of the line resolve to covered cells
+            lats = np.array([15.0, 15.0, 15.0, 15.0])
+            lons = np.array([175.0, 179.9, -179.9, -175.0])
+            hit = np.zeros(4, dtype=bool)
+            for lv in sorted({int(v) for v in lvl}):
+                hit |= np.isin(K.cell_key(lats, lons, lv), keys)
+            assert hit.all()
+            # and a point far away does not
+            far = K.cell_key(np.array([15.0]), np.array([0.0]), 6)
+            assert not np.isin(far, keys).any()
+
+    def test_pip_frame_shift_for_wrapped_region(self):
+        ring = K.rect_ring(10.0, 172.0, 20.0, 188.0)
+        (outs, inns) = K.unwrap_rings([ring], [])
+        lats = np.array([15.0, 15.0, 15.0, 15.0])
+        lons = np.array([175.0, -179.0, -170.0, 170.0])  # -179 ≡ 181 inside
+        got = K.point_in_rings(lats, lons, outs, inns)
+        assert list(got) == [True, True, False, False]
+        # edge-set path agrees (the map-join clipped path)
+        edges = np.vstack([K.ring_edges(r) for r in outs])
+        got_e = K.point_in_edges(lats, lons, edges)
+        assert list(got_e) == [True, True, False, False]
+
 
 class TestDistances:
     def test_haversine_known(self):

@@ -4,7 +4,7 @@ so these run in milliseconds and fuzz far wider than the fixture corpus.
 """
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from libosmtools_spark.geom import kernels as K
@@ -129,17 +129,25 @@ class TestSegmentRectProperties:
 class TestCoverageProperties:
     @given(
         a=st.floats(-60, 50, allow_nan=False),
-        c=st.floats(-170, 160, allow_nan=False),
+        c=st.floats(-170, 175, allow_nan=False),
         h=st.floats(1.0, 25.0, allow_nan=False),
         w=st.floats(1.0, 25.0, allow_nan=False),
         seed=st.integers(0, 10_000),
     )
-    @settings(max_examples=60, deadline=None)
+    # explicit antimeridian regressions: touching +180, crossing it, and the
+    # round-3 falsifying case (rect reaching exactly 180)
+    @example(a=0.0, c=160.0, h=1.0, w=20.0, seed=1)
+    @example(a=0.0, c=175.0, h=2.0, w=5.0, seed=2)
+    @example(a=-10.0, c=170.0, h=5.0, w=25.0, seed=3)
+    @example(a=30.0, c=172.05, h=4.0, w=15.9, seed=4)
+    @settings(max_examples=80, deadline=None)
     def test_adaptive_equals_flat_membership(self, a, c, h, w, seed):
-        """For random rect regions and random probe points, membership via
-        the flat level-6 cover equals membership via the adaptive 6..9
-        cover (full hit OR (partial leaf AND ray-cast)) — the engine-default
-        index is a pure optimization."""
+        """For random rect regions (including antimeridian-touching and
+        -crossing ones: c + w may exceed 180 — the ring is then in the
+        continuous frame) and random probe points, membership via the flat
+        level-6 cover equals membership via the adaptive 6..9 cover (full
+        hit OR (partial leaf AND ray-cast)) AND equals the direct ray-cast
+        — the engine-default index is a pure optimization."""
         ring = K.rect_ring(a, c, a + h, c + w)
         rng = np.random.default_rng(seed)
         py = rng.uniform(a - 5, a + h + 5, size=40)
@@ -147,6 +155,8 @@ class TestCoverageProperties:
 
         def member(keys, full, levels):
             out = np.zeros(len(py), dtype=bool)
+            if len(keys) == 0:
+                return out
             order = np.argsort(keys, kind="stable")
             sk, sf = keys[order], full[order]
             for lv in levels:
@@ -168,3 +178,12 @@ class TestCoverageProperties:
         got_flat = member(fk, ff, [6])
         got_ad = member(ak, af, sorted({int(k) >> K._LEVEL_SHIFT for k in ak}))
         assert (got_flat == got_ad).all()
+        # both index paths must agree with the direct ray-cast for points
+        # clearly off the region boundary (the index is an optimization,
+        # never a semantics change)
+        direct = K.point_in_rings(py, px, [ring], [])
+        edge = np.minimum.reduce([
+            np.abs(py - a), np.abs(py - (a + h)), np.abs(px - c), np.abs(px - (c + w))
+        ])
+        ok = edge > 1e-6
+        assert (got_flat[ok] == direct[ok]).all()
