@@ -187,6 +187,13 @@ def connected_components(cells: DataFrame, max_iter: int = 50, algo: str = "auto
     )
 
 
+#: above this many hot cells the literal-isin fast path would embed a
+#: plan-sized literal list (and collect() a non-dimension-scale set to the
+#: driver: at 10^12 rows / 8000 per cell the hot set can reach ~10^8) —
+#: switch to the anti-join resolution instead
+DEFAULT_MAX_HOT_CELLS = 100_000
+
+
 def refine_oversized(
     points: DataFrame,
     max_points: int,
@@ -195,12 +202,19 @@ def refine_oversized(
     lon: str = "lon",
     key_col: str = "cell_key",
     max_rounds: int = 16,
+    max_hot_cells: int | None = DEFAULT_MAX_HOT_CELLS,
 ) -> DataFrame:
     """points(…, lat, lon, cell_key) → same rows with cell_key subdivided
     wherever a cell exceeded ``max_points`` (CellTriangleCountCriteria
     contract, /root/reference/src/CellCriteria.cpp:24-26) — quadtree
     semantics: a cell splits iff its count exceeds the bound, recursively,
     until bounded or ``max_level``.
+
+    PRECONDITION: all input keys share one level (checked; ValueError on
+    mixed levels).  The single-pass plan below pools per-level counts over
+    all rows, which equals the recursive semantics only when every row
+    starts at the same level — re-running the operator on its own refined
+    output would otherwise over-split cells whose true occupancy is small.
 
     SINGLE-PASS plan (the iterative per-round loop cost more than the skew
     it cures: each round was a full aggregation + checkpoint job):
@@ -209,53 +223,101 @@ def refine_oversized(
        level computes every cell count the recursion could ever consult
        (a child's count doesn't depend on whether its parent split, so
        all split decisions are determined by these unconditional counts);
-    2. the HOT set (count > max_points) collects to the driver — it is the
-       skew TAIL, dimension-scale by the operator's own contract;
-    3. each row's final key is the first level ≥ its own whose cell is not
-       hot (or the cap) — a pure literal-isin expression, no loop, no
-       shuffle, no checkpoint.
+    2. the HOT set (count > max_points) is the skew tail — usually
+       dimension-scale.  Up to ``max_hot_cells`` it collects to the driver
+       and each row's final key is the first non-hot level — a pure
+       literal-isin expression, no loop, no shuffle.  Beyond the bound the
+       hot set stays distributed: candidate (row, level) pairs anti-join
+       the hot table and a min-by-level agg picks each row's first safe
+       level — no driver materialization, no plan-size literal.
 
     ``max_rounds`` caps the refinement depth below ``max_level`` (the
     reference's loop bound, OsmTriangulationRegionStore.h:513)."""
     lvl0 = F.shiftright(F.col(key_col), _LEVEL_SHIFT)
-    # one pass: per-point keys at every candidate level (filtered to
-    # L >= the row's own level), partial-aggregated into (level, key) counts
-    probe_levels = list(range(0, max_level))  # split decisions stop at max_level-1
+    lv_row = points.select(F.min(lvl0).alias("lo"), F.max(lvl0).alias("hi")).first()
+    if lv_row["lo"] is None:
+        return points
+    if int(lv_row["lo"]) != int(lv_row["hi"]):
+        raise ValueError(
+            "refine_oversized requires a uniform starting key level "
+            f"(got levels {lv_row['lo']}..{lv_row['hi']}); the single-pass "
+            "count pooling is only equivalent to the recursion for uniform input"
+        )
+    l0 = int(lv_row["lo"])
+    # split decisions are consulted at levels l0 .. depth_cap-1; final keys
+    # land in l0 .. depth_cap
+    depth_cap = min(max_level, l0 + max_rounds)
+    probe_levels = list(range(l0, depth_cap))
+    if not probe_levels:
+        return points
     lv_struct = F.array(*[
         F.struct(F.lit(L).alias("L"), cell_key_col(F.col(lat), F.col(lon), L).alias("k"))
         for L in probe_levels
     ])
-    exploded = (
-        points.select(lvl0.alias("_lvl0"), F.explode(lv_struct).alias("s"))
-        .filter((F.col("s.L") >= F.col("_lvl0")) & (F.col("s.L") < F.col("_lvl0") + max_rounds))
+    hot = (
+        points.select(F.explode(lv_struct).alias("s"))
         .select(F.col("s.L").alias("L"), F.col("s.k").alias("k"))
-    )
-    hot_rows = (
-        exploded.groupBy("L", "k")
+        .groupBy("L", "k")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > max_points)
-        .collect()
+        .select("L", "k")
     )
-    if not hot_rows:
-        return points
-    hot_by_level: dict[int, set] = {}
-    for r in hot_rows:
-        hot_by_level.setdefault(int(r["L"]), set()).add(int(r["k"]))
-    cap = min(max(hot_by_level) + 1, max_level)
 
-    # first non-hot level ≥ the row's own level (rows at/below no hot chain
-    # keep their key via the final coalesce fallback)
-    branches = []
-    for L in range(0, cap + 1):
-        key_l = cell_key_col(F.col(lat), F.col(lon), L)
-        not_hot = (
-            ~key_l.isin(list(hot_by_level[L])) if L in hot_by_level else F.lit(True)
-        )
-        cond = (F.col("_l0") <= L) & (F.lit(L == cap) | not_hot)
-        branches.append(F.when(cond, key_l))
-    expr = F.coalesce(*branches, F.col(key_col))
-    return (
-        points.withColumn("_l0", lvl0)
-        .withColumn(key_col, expr)
-        .drop("_l0")
+    if max_hot_cells is not None:
+        hot = hot.localCheckpoint(eager=True)  # one job serves count + use
+        n_hot = hot.count()
+    else:
+        n_hot = None
+
+    if n_hot is not None and n_hot <= max_hot_cells:
+        hot_rows = hot.collect()
+        from libosmtools_spark.session import release_local_checkpoint
+
+        release_local_checkpoint(hot)
+        if not hot_rows:
+            return points
+        hot_by_level: dict[int, set] = {}
+        for r in hot_rows:
+            hot_by_level.setdefault(int(r["L"]), set()).add(int(r["k"]))
+        cap = min(max(hot_by_level) + 1, depth_cap)
+        # first non-hot level ≥ l0 (cap level is unconditionally final)
+        branches = []
+        for L in range(l0, cap + 1):
+            key_l = cell_key_col(F.col(lat), F.col(lon), L)
+            not_hot = (
+                ~key_l.isin(list(hot_by_level[L])) if L in hot_by_level else F.lit(True)
+            )
+            branches.append(F.when(F.lit(L == cap) | not_hot, key_l))
+        return points.withColumn(key_col, F.coalesce(*branches, F.col(key_col)))
+
+    # distributed resolution: anti-join candidates against the hot table,
+    # keep each row's first safe level.  Explode factor ≤ max_rounds; the
+    # hot side is broadcast when small (Catalyst/AQE decide), shuffled
+    # otherwise — nothing driver-side grows with the hot-cell count.
+    rid = F.monotonically_increasing_id().alias("_rid")
+    pts_id = points.select(F.struct(*points.columns).alias("_row"), rid)
+    final_struct = F.struct(
+        F.lit(depth_cap).alias("L"),
+        cell_key_col(F.col("_row." + lat), F.col("_row." + lon), depth_cap).alias("k"),
     )
+    cand = pts_id.select(
+        "_rid", F.explode(F.array_append(
+            F.array(*[
+                F.struct(
+                    F.lit(L).alias("L"),
+                    cell_key_col(F.col("_row." + lat), F.col("_row." + lon), L).alias("k"),
+                )
+                for L in probe_levels
+            ]),
+            final_struct,
+        )).alias("s"),
+    ).select("_rid", F.col("s.L").alias("L"), F.col("s.k").alias("k"))
+    # the depth_cap candidate never appears in `hot` (not probed), so every
+    # row keeps at least one candidate after the anti-join
+    safe = cand.join(hot, ["L", "k"], "left_anti")
+    first = safe.groupBy("_rid").agg(F.min(F.struct("L", "k")).alias("m"))
+    out = pts_id.join(first, "_rid").select(
+        F.col("_row").alias("_r"), F.col("m.k").alias("_new_key")
+    )
+    cols = [F.col("_r." + c).alias(c) for c in points.columns if c != key_col]
+    return out.select(*cols, F.col("_new_key").alias(key_col)).select(*points.columns)

@@ -74,7 +74,13 @@ def ngram_jaccard_pairs(
     Size-bound prefilter: jaccard(a,b) ≤ min(|a|,|b|) / max(|a|,|b|), so
     pairs failing ``min ≥ t·max`` are dropped INSIDE the shingle self-join
     (before the pair shuffle/groupBy) without changing the output — the
-    standard length filter of prefix-filtering similarity joins."""
+    standard length filter of prefix-filtering similarity joins.
+
+    Returns an EAGERLY MATERIALIZED result (localCheckpoint): the job runs
+    at call time and the result blocks stay persisted until the caller
+    passes the returned frame to ``session.release_local_checkpoint`` —
+    long-lived sessions issuing many calls must release, or blocks
+    accumulate one per call."""
     sh = shingle_rows(docs, id_col, text_col, k).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.join(sizes, id_col).select(
@@ -185,7 +191,12 @@ def minhash_lsh_pairs(
     avg shingles) verification, which is the whole point of LSH.
 
     bands×rows = num_perm; with 16 bands of 4 rows the match probability at
-    j=0.5 is 1-(1-0.5^4)^16 ≈ 0.64 per band set — tune per corpus."""
+    j=0.5 is 1-(1-0.5^4)^16 ≈ 0.64 per band set — tune per corpus.
+    Returns an EAGERLY MATERIALIZED result (localCheckpoint): the job runs
+    at call time and the result blocks stay persisted until the caller
+    passes the returned frame to ``session.release_local_checkpoint`` —
+    long-lived sessions issuing many calls must release, or blocks
+    accumulate one per call."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signature_udf(num_perm)

@@ -173,6 +173,10 @@ def knn_join(
 ) -> DataFrame:
     """points(id, lat, lon, …) → (id, neighbor_id, rank), rank 1..k.
 
+    The ring method returns an EAGERLY MATERIALIZED result (localCheckpoint)
+    — release via ``session.release_local_checkpoint`` in long-lived
+    sessions (one persisted block set per call otherwise).
+
     method: 'auto' (count-based dispatch), 'brute', or 'ring'.  Callers
     that already know the point count pass ``n_rows`` to skip the dispatch
     count() job."""

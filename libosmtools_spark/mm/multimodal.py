@@ -158,13 +158,16 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, planes, means = [], [], [], [], []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
+            # per-ITEM codec work is inherently a loop; zip over plain
+            # columns (iterrows builds a Series per row — pure overhead)
+            for mid, payload, w0, h0 in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
                 if payload is None:
                     continue
                 b = bytes(payload)
-                w = int(row["width"]) if pd.notna(row["width"]) else max(int(len(b) ** 0.5), 1)
-                h = int(row["height"]) if pd.notna(row["height"]) else w
+                w = int(w0) if pd.notna(w0) else max(int(len(b) ** 0.5), 1)
+                h = int(h0) if pd.notna(h0) else w
                 img = decode_stub_image(b, w, h).astype(np.float64)
                 # block-mean resize: pad to a multiple of the output grid,
                 # then mean over (h/out_h, w/out_w) blocks — pure numpy
@@ -173,7 +176,7 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
                 padded = np.zeros((ph, pw))
                 padded[:h, :w] = img
                 small = padded.reshape(out_h, ph // out_h, out_w, pw // out_w).mean(axis=(1, 3))
-                ids.append(row["media_id"])
+                ids.append(mid)
                 ws.append(out_w)
                 hs.append(out_h)
                 planes.append(small.astype(np.uint8).tobytes())
@@ -197,14 +200,13 @@ def frame_sample(media: DataFrame, every_k: int = 4, frame_bytes: int = 256) -> 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames, totals = [], [], [], []
-            for _, row in pdf.iterrows():
-                payload = row["payload"]
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
                 b = bytes(payload)
                 n_frames = max(len(b) // frame_bytes, 1)
                 for i in range(0, n_frames, every_k):
-                    ids.append(row["media_id"])
+                    ids.append(mid)
                     idxs.append(i)
                     frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
                     totals.append(n_frames)

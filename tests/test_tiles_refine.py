@@ -249,3 +249,83 @@ class TestCellDiameter:
         assert mx1 <= 50 or w1 < w0  # bounded (or clipped at max_level) and less work
         assert w1 < w0
         assert refined.count() == pts.count()  # no row lost or duplicated
+
+
+class TestRefineHotSetFallback:
+    def _pts(self, spark, n, level=6):
+        from libosmtools_spark.geom.columns import cell_key_col
+        from pyspark.sql import functions as F
+
+        base = spark.range(n).select(
+            F.col("id"),
+            ((F.col("id") * 9973 % 1700000) / 10000.0 - 85.0).alias("lat"),
+            ((F.col("id") * 7919 % 3600000) / 10000.0 - 180.0).alias("lon"),
+        )
+        return base.withColumn("cell_key", cell_key_col(F.col("lat"), F.col("lon"), level))
+
+    def test_mixed_level_input_rejected(self, spark):
+        from pyspark.sql import functions as F
+
+        from libosmtools_spark.cells.refine import refine_oversized
+        from libosmtools_spark.geom.columns import cell_key_col
+
+        pts = self._pts(spark, 100, level=6)
+        mixed = pts.withColumn(
+            "cell_key",
+            F.when(F.col("id") % 2 == 0, F.col("cell_key")).otherwise(
+                cell_key_col(F.col("lat"), F.col("lon"), 8)
+            ),
+        )
+        with pytest.raises(ValueError, match="uniform starting key level"):
+            refine_oversized(mixed, max_points=10)
+
+    def test_join_path_equals_literal_path(self, spark):
+        from pyspark.sql import functions as F
+
+        from libosmtools_spark.cells.refine import refine_oversized
+        from libosmtools_spark.geom.columns import cell_key_col
+
+        # clustered points (a ~2° patch) so cells really exceed the bound
+        pts = (
+            spark.range(5000)
+            .select(
+                F.col("id"),
+                ((F.col("id") * 9973 % 1700) / 1000.0).alias("lat"),
+                ((F.col("id") * 7919 % 3600) / 1000.0).alias("lon"),
+            )
+            .withColumn("cell_key", cell_key_col(F.col("lat"), F.col("lon"), 6))
+            .cache()
+        )
+        pts.count()
+        lit = refine_oversized(pts, max_points=20, max_hot_cells=10**9)
+        jn = refine_oversized(pts, max_points=20, max_hot_cells=0)
+        a = {r["id"]: r["cell_key"] for r in lit.select("id", "cell_key").collect()}
+        b = {r["id"]: r["cell_key"] for r in jn.select("id", "cell_key").collect()}
+        pts.unpersist()
+        assert a == b
+        # the split actually happened (some keys moved past level 6)
+        assert any((k >> 55) > 6 for k in a.values())
+
+    def test_many_hot_cells_no_plan_explosion(self, spark):
+        """>10^5 hot cells: the distributed path must neither collect the
+        hot set nor embed plan literals — and still bound every cell."""
+        from pyspark.sql import functions as F
+
+        from libosmtools_spark.cells.refine import refine_oversized
+
+        pts = self._pts(spark, 150_000, level=10)
+        # max_points=0: every occupied cell is hot at the probed level →
+        # hot rows ≈ distinct cells (> 10^5 at level 10 for 150k points)
+        refined = refine_oversized(
+            pts, max_points=0, max_rounds=1, max_hot_cells=10_000
+        )
+        row = (
+            refined.groupBy("cell_key").agg(F.count("*").alias("n"))
+            .agg(F.count("*").alias("cells"), F.sum("n").alias("rows"))
+            .collect()[0]
+        )
+        assert row["rows"] == 150_000  # all rows preserved
+        levels = refined.select(
+            F.shiftright("cell_key", 55).alias("lv")
+        ).distinct().collect()
+        assert {r["lv"] for r in levels} == {11}  # everyone split one level
