@@ -263,17 +263,18 @@ def refine_oversized(
         .select("L", "k")
     )
 
+    # ONE job decides the path: collect at most max_hot_cells+1 hot rows —
+    # if the result fits, it IS the complete hot set (limit(N) returns all
+    # M rows when M ≤ N) and the literal fast path applies; an overflow
+    # falls through to the distributed resolution (which recomputes the
+    # hot agg lazily inside the join — the rare, already-expensive case)
+    hot_rows = None
     if max_hot_cells is not None:
-        hot = hot.localCheckpoint(eager=True)  # one job serves count + use
-        n_hot = hot.count()
-    else:
-        n_hot = None
+        probe = hot.limit(max_hot_cells + 1).collect()
+        if len(probe) <= max_hot_cells:
+            hot_rows = probe
 
-    if n_hot is not None and n_hot <= max_hot_cells:
-        hot_rows = hot.collect()
-        from libosmtools_spark.session import release_local_checkpoint
-
-        release_local_checkpoint(hot)
+    if hot_rows is not None:
         if not hot_rows:
             return points
         hot_by_level: dict[int, set] = {}

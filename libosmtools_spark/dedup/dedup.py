@@ -31,15 +31,22 @@ from libosmtools_spark.text.analysis import shingles_col
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", verify: bool = False
+) -> DataFrame:
     """(doc_id, canonical_id, group_size): canonical = min id per identical
     text.  A doc is a duplicate iff doc_id != canonical_id.
 
     Shuffle diet (100 TB): the group/join key is ``(xxhash64(text),
     length(text))`` — the multi-KB text column itself never rides a
     shuffle; only id + 8-byte hash + length move.  xxhash64 collisions at
-    equal length are ~2^-64 per pair; callers needing cryptographic
-    certainty can re-verify inside the (tiny) groups."""
+    equal length are ~2^-64 per pair (accepted, documented).
+
+    ``verify=True`` removes even that residual: rows of multi-member hash
+    groups are re-grouped on the text itself, so a colliding pair of
+    distinct texts splits back apart.  Only members of duplicate groups
+    pay the text shuffle — singletons (the bulk of a web corpus) stay on
+    the 16-byte key path."""
     keyed = docs.select(
         F.col(id_col),
         F.xxhash64(F.col(text_col)).alias("_h"),
@@ -48,7 +55,24 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     groups = keyed.groupBy("_h", "_len").agg(
         F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
     )
-    return keyed.join(groups, ["_h", "_len"]).select(id_col, "canonical_id", "group_size")
+    out = keyed.join(groups, ["_h", "_len"]).select(id_col, "canonical_id", "group_size")
+    if not verify:
+        return out
+    multi = groups.filter(F.col("group_size") > 1).select("_h", "_len")
+    tagged = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.xxhash64(F.col(text_col)).alias("_h"),
+        F.length(F.col(text_col)).alias("_len"),
+    ).join(multi, ["_h", "_len"], "left_semi")
+    true_groups = tagged.groupBy("_h", "_len", "_t").agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("group_size")
+    )
+    resolved = tagged.join(true_groups, ["_h", "_len", "_t"]).select(
+        id_col, "canonical_id", "group_size"
+    )
+    singles = out.join(tagged.select(id_col), id_col, "left_anti")
+    return singles.unionByName(resolved)
 
 
 # ---------------------------------------------------------------------------

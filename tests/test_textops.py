@@ -71,6 +71,25 @@ class TestDedup:
         m = out.set_index("doc_id").loc[pdf["doc_id"], "canonical_id"].to_numpy()
         assert (m == want.to_numpy()).all()
 
+    def test_exact_dedup_verify_agrees(self, docs, spark):
+        """verify=True (text re-check inside multi-member hash groups)
+        returns the identical result absent collisions — and the fixture
+        has real duplicate groups, so the verified path is exercised."""
+        from libosmtools_spark.dedup.dedup import exact_dedup
+
+        dup = spark.createDataFrame(
+            [(1000001, "a duplicate body"), (1000002, "a duplicate body"),
+             (1000003, "a duplicate body"), (1000004, "unique body")],
+            "doc_id long, text string",
+        )
+        both = docs.select("doc_id", "text").unionByName(dup)
+        fast = exact_dedup(both).toPandas().sort_values("doc_id").reset_index(drop=True)
+        ver = exact_dedup(both, verify=True).toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert (fast["group_size"] > 1).any()  # duplicate groups exist
+        assert fast.equals(ver)
+        g = ver[ver["doc_id"].isin([1000001, 1000002, 1000003])]
+        assert set(g["canonical_id"]) == {1000001} and set(g["group_size"]) == {3}
+
     def test_jaccard_pairs_vs_brute(self, docs, spark):
         from libosmtools_spark.dedup.dedup import ngram_jaccard_pairs
 
