@@ -81,6 +81,11 @@ def region_spec():
         ("dateline_east", [("outer", R(-5.0, 170.0, 5.0, 179.5))]),
         # 9: dense urban hotspot target (most clustered points land here)
         ("urban", [("outer", R(48.0, 11.0, 48.4, 11.8))]),
+        # 10: antimeridian-CROSSING region (continuous-frame convention:
+        # lon runs 174 → 186, i.e. across ±180 to -174) — exercises
+        # wrapped coverage keys + frame-shifted PIP through the whole
+        # flagship pipeline and its brute-force goldens
+        ("dateline_cross", [("outer", R(20.0, 174.0, 30.0, 186.0))]),
     ]
     out = []
     for rid, (name, rings) in enumerate(specs):
@@ -154,6 +159,9 @@ def gen_points(n: int, rng: np.random.Generator):
         (0.0, -179.9),    # near antimeridian, outside
         (20.0, 20.0),     # corner shared by overlap pair
         (48.2, 11.4),     # urban hotspot center
+        (25.0, 179.0),    # inside dateline_cross, east of the line
+        (25.0, -177.0),   # inside dateline_cross, WEST of the line (wrap)
+        (25.0, -173.0),   # west of the line, outside dateline_cross
     ]
     for i, (a, o) in enumerate(adv):
         if i < len(lats):
