@@ -585,6 +585,18 @@ def q_knn_ring(spark, sf_dir):
     )
 
 
+def q_knn_wrap(spark, sf_dir):
+    """kNN under the ±180°-wrapped degree metric (geom.kernels
+    .wrap_sq_euclid_deg): neighbors across the antimeridian rank by true
+    angular separation instead of flat-space distance."""
+    from libosmtools_spark.knn.ring import knn_join
+
+    pts = _points(spark, sf_dir)
+    return knn_join(pts, "doc_id", k=KNN_K, level=LEVEL, metric="wrap").select(
+        "doc_id", F.col("neighbor_id").cast("long").alias("neighbor_id"), "rank"
+    )
+
+
 def q_region_cells(spark, sf_dir):
     """T12 region→cells inverted index over the interned cells table."""
     from libosmtools_spark.tiles.materialize import region_cells_inverted
@@ -996,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cell_ids": q_doc_cell_ids,
         "knn": q_knn,
         "knn_ring": q_knn_ring,
+        "knn_wrap": q_knn_wrap,
         "region_cells": q_region_cells,
         "raster_to_vector": q_raster_to_vector,
         "vector_to_raster": q_vector_to_raster,
@@ -1083,6 +1096,8 @@ _WINNOW_SQL = r"""
 def oracle_sql() -> dict[str, str]:
     preds = _PRED
     knn_d2 = "((p.lat - q.lat) * (p.lat - q.lat) + (p.lon - q.lon) * (p.lon - q.lon))"
+    wdlon = "least(abs(p.lon - q.lon), 360 - abs(p.lon - q.lon))"
+    knn_wd2 = f"((p.lat - q.lat) * (p.lat - q.lat) + {wdlon} * {wdlon})"
 
     lang_score = {}
     for lang, words in {
@@ -1187,6 +1202,15 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (
               SELECT p.doc_id, q.doc_id AS neighbor_id,
                      row_number() OVER (PARTITION BY p.doc_id ORDER BY {knn_d2} ASC, q.doc_id ASC) AS rank
+              FROM pts p JOIN pts q ON p.doc_id <> q.doc_id
+            )
+            SELECT doc_id, neighbor_id, rank FROM ranked WHERE rank <= {KNN_K}
+        """,
+        "knn_wrap": f"""
+            WITH pts AS ({POINTS_CTE}),
+            ranked AS (
+              SELECT p.doc_id, q.doc_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY p.doc_id ORDER BY {knn_wd2} ASC, q.doc_id ASC) AS rank
               FROM pts p JOIN pts q ON p.doc_id <> q.doc_id
             )
             SELECT doc_id, neighbor_id, rank FROM ranked WHERE rank <= {KNN_K}

@@ -117,6 +117,16 @@ def sq_euclid_deg_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) ->
     return dlat * dlat + dlon * dlon
 
 
+def wrap_sq_euclid_deg_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """JVM mirror of kernels.wrap_sq_euclid_deg (±180°-wrapped Δlon).
+    No NULLs reach the F.least (both args derived from the same inputs),
+    so its skip-NULL semantics cannot bite."""
+    dlat = lat1 - lat2
+    dlon = F.abs(lon1 - lon2)
+    dlon = F.least(dlon, F.lit(360.0) - dlon)
+    return dlat * dlat + dlon * dlon
+
+
 def haversine_m_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     from libosmtools_spark.geom.kernels import EARTH_RADIUS_M
 

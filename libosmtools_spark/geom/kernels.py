@@ -207,6 +207,18 @@ def sq_euclid_deg(lat1, lon1, lat2, lon2):
     return dlat * dlat + dlon * dlon
 
 
+def wrap_sq_euclid_deg(lat1, lon1, lat2, lon2):
+    """sq_euclid_deg with the longitude difference wrapped around ±180°
+    (min(|Δlon|, 360−|Δlon|)) — the geodesically honest variant near the
+    antimeridian.  Still built only from exact-or-correctly-rounded single
+    float ops, so rankings reproduce bit-identically in the SQL oracle."""
+    lat1, lon1, lat2, lon2 = (np.asarray(a, dtype=np.float64) for a in (lat1, lon1, lat2, lon2))
+    dlat = lat1 - lat2
+    dlon = np.abs(lon1 - lon2)
+    dlon = np.minimum(dlon, 360.0 - dlon)
+    return dlat * dlat + dlon * dlon
+
+
 def cell_diag_m(key):
     """Geodesic diagonal of a cell — the refinement criterion quantity
     (FixedSizeDiagRefiner, /root/reference/src/OsmGridRegionTree.cpp:13-30)."""

@@ -28,16 +28,30 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from libosmtools_spark.geom.columns import ring_keys_col, sq_euclid_deg_col
+from libosmtools_spark.geom.columns import (
+    ring_keys_col,
+    sq_euclid_deg_col,
+    wrap_sq_euclid_deg_col,
+)
 from libosmtools_spark.joins.spatial import with_cell_key
+
+#: ranking metrics: 'flat' = plain squared-degree euclid (the oracle-default
+#: contract); 'wrap' = Δlon wrapped around ±180° (geodesically honest near
+#: the antimeridian; same exactness guarantees).  The ring bound
+#: (r·cell_size)² is valid under BOTH: cells outside the k-ring are > r
+#: grid columns away even counting the wrap (ring_keys_col wraps ix).
+_METRIC_COLS = {"flat": sq_euclid_deg_col, "wrap": wrap_sq_euclid_deg_col}
 
 #: below this many points the broadcast-matrix strategy wins outright
 BRUTE_THRESHOLD = 200_000
 
 
-def knn_brute(points: DataFrame, id_col: str, k: int = 5, lat: str = "lat", lon: str = "lon") -> DataFrame:
+def knn_brute(points: DataFrame, id_col: str, k: int = 5, lat: str = "lat", lon: str = "lon",
+              metric: str = "flat") -> DataFrame:
     """Broadcast the full point matrix; per Arrow batch one numpy distance
     block + lexsort.  Exact, shuffle-free."""
+    assert metric in _METRIC_COLS
+    wrap = metric == "wrap"
     spark = points.sparkSession
     pdf = points.select(id_col, lat, lon).toPandas()
     # corpus sorted by id: a STABLE argsort on distance then yields the
@@ -62,7 +76,10 @@ def knn_brute(points: DataFrame, id_col: str, k: int = 5, lat: str = "lat", lon:
             rows = {id_col: [], "neighbor_id": [], "rank": []}
             for i in range(0, len(qids), chunk):
                 qi = slice(i, i + chunk)
-                d2 = (qla[qi, None] - nla[None, :]) ** 2 + (qlo[qi, None] - nlo[None, :]) ** 2
+                dlon = np.abs(qlo[qi, None] - nlo[None, :])
+                if wrap:
+                    dlon = np.minimum(dlon, 360.0 - dlon)
+                d2 = (qla[qi, None] - nla[None, :]) ** 2 + dlon * dlon
                 d2[qids[qi, None] == nids[None, :]] = np.inf  # self-exclusion
                 top = np.argsort(d2, axis=1, kind="stable")[:, :k]
                 m = top.shape[0]
@@ -82,8 +99,10 @@ def knn_ring(
     lat: str = "lat",
     lon: str = "lon",
     max_rounds: int = 4,
+    metric: str = "flat",
 ) -> DataFrame:
     """Distributed ring-expansion kNN (see module docstring)."""
+    d2_col = _METRIC_COLS[metric]
     pts = with_cell_key(points.select(id_col, lat, lon), lat, lon, level).cache()
     data = pts.select(
         F.col(id_col).alias("n_id"),
@@ -104,7 +123,7 @@ def knn_ring(
             .join(data, "n_key")
             .filter(F.col(id_col) != F.col("n_id"))
             .withColumn(
-                "d2", sq_euclid_deg_col(F.col(lat), F.col(lon), F.col("n_lat"), F.col("n_lon"))
+                "d2", d2_col(F.col(lat), F.col(lon), F.col("n_lat"), F.col("n_lon"))
             )
         )
         w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("n_id").asc())
@@ -135,7 +154,7 @@ def knn_ring(
             .crossJoin(data.drop("n_key"))
             .filter(F.col(id_col) != F.col("n_id"))
             .withColumn(
-                "d2", sq_euclid_deg_col(F.col(lat), F.col(lon), F.col("n_lat"), F.col("n_lon"))
+                "d2", d2_col(F.col(lat), F.col(lon), F.col("n_lat"), F.col("n_lon"))
             )
         )
         w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("n_id").asc())
@@ -170,6 +189,7 @@ def knn_join(
     max_rounds: int = 4,
     method: str = "auto",
     n_rows: int | None = None,
+    metric: str = "flat",
 ) -> DataFrame:
     """points(id, lat, lon, …) → (id, neighbor_id, rank), rank 1..k.
 
@@ -184,8 +204,8 @@ def knn_join(
         n = points.count() if n_rows is None else n_rows
         method = "brute" if n <= BRUTE_THRESHOLD else "ring"
     if method == "brute":
-        return knn_brute(points, id_col, k, lat, lon)
-    return knn_ring(points, id_col, k, level, lat, lon, max_rounds)
+        return knn_brute(points, id_col, k, lat, lon, metric)
+    return knn_ring(points, id_col, k, level, lat, lon, max_rounds, metric)
 
 
 def knn_neighbor_lists(knn_rows: DataFrame, id_col: str) -> DataFrame:

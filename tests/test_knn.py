@@ -48,3 +48,36 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_knn_wrap_metric_crosses_antimeridian(spark):
+    """Under metric='wrap', a neighbor just across ±180° outranks a flat-
+    space-nearer one; ring and brute paths agree exactly."""
+    import numpy as np
+
+    from libosmtools_spark.geom.kernels import wrap_sq_euclid_deg
+    from libosmtools_spark.knn.ring import knn_join
+
+    rows = [
+        (1, 0.0, 179.8),    # query: east of the line
+        (2, 0.0, -179.9),   # 0.3° away ACROSS the line
+        (3, 0.0, 178.0),    # 1.8° away, same side
+        (4, 0.0, 170.0),
+        (5, 10.0, 179.8),
+        (6, -10.0, -179.8),
+        (7, 0.0, 0.0),
+    ]
+    pts = spark.createDataFrame(rows, "doc_id long, lat double, lon double")
+    brute = knn_join(pts, "doc_id", k=3, metric="wrap", method="brute")
+    ring = knn_join(pts, "doc_id", k=3, metric="wrap", method="ring")
+    b = {(r.doc_id, r.rank): r.neighbor_id for r in brute.collect()}
+    r_ = {(r.doc_id, r.rank): r.neighbor_id for r in ring.collect()}
+    assert b == r_
+    # the across-the-line point is the query's top neighbor under wrap
+    assert b[(1, 1)] == 2
+    # sanity vs the numpy kernel: wrapped distance really is smaller
+    assert wrap_sq_euclid_deg(0.0, 179.8, 0.0, -179.9) < wrap_sq_euclid_deg(0.0, 179.8, 0.0, 178.0)
+    # the flat metric would have ranked the same-side point first
+    flat = knn_join(pts, "doc_id", k=3, metric="flat", method="brute")
+    fb = {(r.doc_id, r.rank): r.neighbor_id for r in flat.collect()}
+    assert fb[(1, 1)] == 3
