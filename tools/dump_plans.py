@@ -62,8 +62,9 @@ def main():
     ))
 
     qs = entry.queries()
-    for name in ("pip_region_rows", "cell_assign", "knn", "tile_counts",
-                 "dedup_exact", "token_count", "events_window"):
+    for name in ("pip_region_rows", "pip_antimeridian", "cell_assign", "knn",
+                 "knn_wrap", "tile_counts", "dedup_exact", "token_count",
+                 "events_window"):
         p = plan_of(qs[name](spark, sf_dir))
         sections.append((f"query: {name}", p, []))
 
