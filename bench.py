@@ -307,8 +307,11 @@ def scaling_section(fixtures: str) -> dict:
     inflate = int(os.environ.get("SPARK_GRAFT_SCALE_INFLATE", "64"))
     n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     # each outer run is one fresh-JVM subprocess per config (inner
-    # min-of-2); raise for stronger alternation evidence
-    runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "1"))
+    # min-of-2); 2 outer runs alternate configs so one noisy window
+    # cannot sink a single config's only sample (measured: a lone
+    # 16-core sample in a depressed-floor window read 0.50 efficiency
+    # where the alternating estimator reads 0.81)
+    runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
     n_hi = 4 * n_lo
 
     # materialize the inflated corpus ONCE, outside every timer: a real
