@@ -110,16 +110,26 @@ def load_pages(spark, fixtures: str, inflate: int = 1):
     """Pages input, repartitioned across cores BEFORE inflation — a single
     local parquet file is one input split, and exploding before the shuffle
     would serialize the inflation into that one task (Amdahl bottleneck).
-    On a real cluster the reader splits by itself."""
+    On a real cluster the reader splits by itself.
+
+    Partition count scales with the EFFECTIVE row count (rows × inflate):
+    up to 8 waves per core for big inputs (the straggler tail of the last
+    wave costs 1/waves of the wall — at 16 cores, 4-per-core measured
+    ~13% idle tail), but never below ~6k rows per task — at sf0.1 the
+    old fixed 8/core put 780 rows in each of 256 tasks and per-task fixed
+    overhead (Arrow batch setup, python worker dispatch) was over half
+    the headline wall (measured 5.4 s at 256 parts vs 2.6 s at 32)."""
     import os as _os
 
     from pyspark.sql import functions as F
 
     cores = spark.sparkContext.defaultParallelism
-    # 8 tasks per core: the straggler tail of the last wave costs 1/waves
-    # of the wall — at 16 cores, 4-per-core measured ~13% idle tail
     per_core = int(_os.environ.get("SPARK_GRAFT_PARTS_PER_CORE", "8"))
-    pages = spark.read.parquet(_os.path.join(fixtures, "pages.parquet")).repartition(per_core * cores)
+    target = int(_os.environ.get("SPARK_GRAFT_ROWS_PER_TASK", "6000"))
+    raw = spark.read.parquet(_os.path.join(fixtures, "pages.parquet"))
+    eff = raw.count() * max(inflate, 1)  # parquet metadata count — no scan
+    waves = max(1, min(per_core, eff // (target * cores)))
+    pages = raw.repartition(int(waves * cores))
     if inflate > 1:
         pages = (
             pages.withColumn("rep", F.explode(F.sequence(F.lit(1), F.lit(inflate))))
