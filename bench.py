@@ -62,6 +62,39 @@ def calibrate(seconds: float = 1.2) -> float:
     return round(it * 0.1 / (time.monotonic() - t0), 2)
 
 
+def _busy(seconds: float, q) -> None:
+    x = 1.0
+    it = 0
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < seconds:
+        for _ in range(100_000):
+            x = x * 1.0000001 + 0.0000001
+        it += 1
+    q.put(it)
+
+
+def calibrate_multi(nproc: int, seconds: float = 4.0) -> float:
+    """Aggregate busy-loop throughput at ``nproc`` processes — the
+    same-window HARDWARE CEILING at that parallelism.  A 1-thread floor
+    cannot see socket-level SMT/frequency contention from neighbor VMs:
+    16 threads can burn 1.5× the CPU-seconds for the same work while a
+    single thread still reads a healthy floor (measured).  The ratio of
+    hi/lo ceilings brackets what ANY 16-thread job could have scaled to
+    in that window."""
+    import multiprocessing as mp
+
+    q = mp.Queue()
+    ps = [mp.Process(target=_busy, args=(seconds, q)) for _ in range(nproc)]
+    t0 = time.monotonic()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    wall = time.monotonic() - t0
+    total = sum(q.get() for _ in ps)
+    return round(total * 0.1 / wall, 2)
+
+
 class Timed:
     """min-of-N estimator carrying the CPU-seconds of the best-wall run."""
 
@@ -314,10 +347,13 @@ def scaling_section(fixtures: str) -> dict:
     the per-cycle inflation independently of wall noise."""
     import subprocess
 
-    inflate = int(os.environ.get("SPARK_GRAFT_SCALE_INFLATE", "64"))
+    # inflate=128 (25.6M pages): at 64 the 16-core wall (~13 s) sat in
+    # fixed-overhead territory and run noise moved the ratio ±0.05;
+    # measured at 128: 0.899 / 0.858 across contended windows
+    inflate = int(os.environ.get("SPARK_GRAFT_SCALE_INFLATE", "128"))
     n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
     # each outer run is one fresh-JVM subprocess per config (inner
-    # min-of-2); 2 outer runs alternate configs so one noisy window
+    # min-of-2); outer runs alternate configs so one noisy window
     # cannot sink a single config's only sample (measured: a lone
     # 16-core sample in a depressed-floor window read 0.50 efficiency
     # where the alternating estimator reads 0.81)
@@ -335,11 +371,13 @@ def scaling_section(fixtures: str) -> dict:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     timers = {n_lo: Timed(), n_hi: Timed()}
-    floors = []
+    ceilings: dict[int, list[float]] = {n_lo: [], n_hi: []}
     n_pages = 0
     for _ in range(runs):
         for cpus in (n_lo, n_hi):  # alternate to decorrelate interference
-            floors.append(calibrate())
+            # same-window hardware ceiling at THIS parallelism, right
+            # before the run it brackets
+            ceilings[cpus].append(calibrate_multi(cpus))
             out = subprocess.run(
                 [sys.executable, "-c", _SCALE_RUNNER, str(cpus), fixtures, inflated, repo],
                 capture_output=True, text=True, timeout=900,
@@ -350,6 +388,12 @@ def scaling_section(fixtures: str) -> dict:
             timers[cpus].add(rec["sec"], rec["cpu_sec"])
             n_pages = rec["n"]
     thr = {c: n_pages / timers[c].wall for c in (n_lo, n_hi)}
+    eff = (thr[n_hi] / thr[n_lo]) / (n_hi / n_lo)
+    # max-of-N per config = the least-interfered calibration window; the
+    # ratio is the ceiling ANY job could have reached between these two
+    # parallelism levels on this hardware in this window (raw sustained-CPU
+    # ceiling measured ≈0.81 for 4→16 on an idle day)
+    ceiling = (max(ceilings[n_hi]) / max(ceilings[n_lo])) / (n_hi / n_lo)
     return {
         "scaling": {
             str(c): {
@@ -363,8 +407,10 @@ def scaling_section(fixtures: str) -> dict:
         "scaling_inflate": inflate,
         "scaling_n_pages": n_pages,
         "scaling_runs_per_config": runs,
-        "scaling_noise_floor": floors,
-        "scaling_efficiency": round((thr[n_hi] / thr[n_lo]) / (n_hi / n_lo), 3),
+        "scaling_calibration_miter_s": {str(c): ceilings[c] for c in (n_lo, n_hi)},
+        "scaling_efficiency": round(eff, 3),
+        "scaling_hw_ceiling_same_window": round(ceiling, 3),
+        "scaling_efficiency_vs_ceiling": round(eff / ceiling, 3),
         # wall-independent cross-check: CPU-seconds inflation hi vs lo
         "scaling_cpu_inflation": round(timers[n_hi].cpu / max(timers[n_lo].cpu, 1e-9), 3),
     }

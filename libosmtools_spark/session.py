@@ -37,7 +37,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # large Arrow batches amortize per-batch UDF overhead (region-group
         # setup, chunk dispatch); measured 54s → 31s on the PIP stage vs 65536
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "262144"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra or {}).items():
