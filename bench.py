@@ -342,9 +342,10 @@ def scaling_section(fixtures: str) -> dict:
     region store), same pre-materialized input, at N and 4N cores, each
     run in a fresh subprocess (own JVM).  N=4 → 4N=16 stays within the
     sandbox's physical-core scaling envelope (raw sustained-CPU efficiency
-    4→16 procs ≈ 0.81 measured here, vs ≈ 0.76 at 8→32).  Runs alternate
-    configs; min wall per config; the CPU-seconds of each best run bound
-    the per-cycle inflation independently of wall noise."""
+    4→16 procs ≈ 0.81 measured here, vs ≈ 0.76 at 8→32).  Each outer run
+    measures lo then hi back-to-back (one window pair); the headline
+    efficiency is the MINIMUM pairwise ratio; the CPU-seconds of each
+    best run bound the per-cycle inflation independently of wall noise."""
     import subprocess
 
     # inflate=128 (25.6M pages): at 64 the 16-core wall (~13 s) sat in
@@ -371,10 +372,11 @@ def scaling_section(fixtures: str) -> dict:
 
     repo = os.path.dirname(os.path.abspath(__file__))
     timers = {n_lo: Timed(), n_hi: Timed()}
+    walls: dict[int, list[float]] = {n_lo: [], n_hi: []}
     ceilings: dict[int, list[float]] = {n_lo: [], n_hi: []}
     n_pages = 0
     for _ in range(runs):
-        for cpus in (n_lo, n_hi):  # alternate to decorrelate interference
+        for cpus in (n_lo, n_hi):  # lo/hi back-to-back = one window pair
             # same-window hardware ceiling at THIS parallelism, right
             # before the run it brackets
             ceilings[cpus].append(calibrate_multi(cpus))
@@ -386,9 +388,21 @@ def scaling_section(fixtures: str) -> dict:
                 [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             )
             timers[cpus].add(rec["sec"], rec["cpu_sec"])
+            walls[cpus].append(round(rec["sec"], 3))
             n_pages = rec["n"]
     thr = {c: n_pages / timers[c].wall for c in (n_lo, n_hi)}
-    eff = (thr[n_hi] / thr[n_lo]) / (n_hi / n_lo)
+    # HEADLINE estimator: per-PAIR ratios (each outer run measures lo then
+    # hi back-to-back in one window), MINIMUM across pairs — the
+    # conservative claim "even the worst same-window pair scaled this
+    # well".  Taking min wall per config across DIFFERENT windows instead
+    # pairs one config's lucky window with the other's unlucky one —
+    # measured swinging from 0.56 to an impossible 1.15 on this shared VM
+    pair_effs = sorted(
+        round((lo / hi) / (n_hi / n_lo), 3)
+        for lo, hi in zip(walls[n_lo], walls[n_hi])
+    )
+    eff = pair_effs[0]
+    eff_min_walls = (thr[n_hi] / thr[n_lo]) / (n_hi / n_lo)
     # max-of-N per config = the least-interfered calibration window; the
     # ratio is the ceiling ANY job could have reached between these two
     # parallelism levels on this hardware in this window (raw sustained-CPU
@@ -401,6 +415,7 @@ def scaling_section(fixtures: str) -> dict:
                 "cpu_sec": round(timers[c].cpu, 1),
                 "pages_per_sec": round(thr[c], 1),
                 "cores_busy": round(timers[c].cpu / timers[c].wall, 1),
+                "all_runs_sec": walls[c],
             }
             for c in (n_lo, n_hi)
         },
@@ -409,6 +424,8 @@ def scaling_section(fixtures: str) -> dict:
         "scaling_runs_per_config": runs,
         "scaling_calibration_miter_s": {str(c): ceilings[c] for c in (n_lo, n_hi)},
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_pairwise": pair_effs,
+        "scaling_efficiency_min_walls": round(eff_min_walls, 3),
         "scaling_hw_ceiling_same_window": round(ceiling, 3),
         "scaling_efficiency_vs_ceiling": round(eff / ceiling, 3),
         # wall-independent cross-check: CPU-seconds inflation hi vs lo
