@@ -401,7 +401,12 @@ def scaling_section(fixtures: str) -> dict:
         round((lo / hi) / (n_hi / n_lo), 3)
         for lo, hi in zip(walls[n_lo], walls[n_hi])
     )
-    eff = pair_effs[0]
+    # clamp at 1.0: local[N] vs local[4N] inside ONE container is a proxy —
+    # JVM service threads (GC, netty, parquet footers) are host-wide in
+    # both configs, which can disadvantage the small config and read
+    # super-linear (pairs up to 1.2 observed).  >1 means "scaled at least
+    # linearly within proxy error"; the raw pairwise list stays alongside
+    eff = min(pair_effs[0], 1.0)
     eff_min_walls = (thr[n_hi] / thr[n_lo]) / (n_hi / n_lo)
     # max-of-N per config = the least-interfered calibration window; the
     # ratio is the ceiling ANY job could have reached between these two
