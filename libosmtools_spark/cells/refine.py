@@ -295,6 +295,10 @@ def refine_oversized(
     # keep each row's first safe level.  Explode factor ≤ max_rounds; the
     # hot side is broadcast when small (Catalyst/AQE decide), shuffled
     # otherwise — nothing driver-side grows with the hot-cell count.
+    # The row id ties the two references of pts_id together; it requires
+    # deterministic input lineage (scans + narrow transforms + Spark's
+    # sort-before-repartition default all qualify) so both evaluations
+    # assign identical ids.
     rid = F.monotonically_increasing_id().alias("_rid")
     pts_id = points.select(F.struct(*points.columns).alias("_row"), rid)
     final_struct = F.struct(

@@ -126,6 +126,33 @@ class TestSegmentRectProperties:
             assert not got
 
 
+class TestUnwrapProperties:
+    @given(
+        a=st.floats(-60, 50, allow_nan=False),
+        c=st.floats(-179.0, 179.0, allow_nan=False),
+        h=st.floats(1.0, 25.0, allow_nan=False),
+        w=st.floats(1.0, 25.0, allow_nan=False),
+        seed=st.integers(0, 10_000),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_jump_form_equals_continuous_form(self, a, c, h, w, seed):
+        """A ring stored NORMALIZED (lons in [-180,180), wraps encoded as
+        jumps > 180°) and the same ring in the continuous frame give
+        identical PIP answers for probe points around the region — the
+        two storage conventions are interchangeable through unwrap_rings."""
+        cont = K.rect_ring(a, c, a + h, c + w)  # continuous frame (c+w may pass 180)
+        norm = cont.copy()
+        norm[:, 1] = K.norm_lon(norm[:, 1])     # jump form
+        o1, _ = K.unwrap_rings([cont], [])
+        o2, _ = K.unwrap_rings([norm], [])
+        rng = np.random.default_rng(seed)
+        py = rng.uniform(a - 5, a + h + 5, size=30)
+        px = K.norm_lon(rng.uniform(c - 5, c + w + 5, size=30))  # real-world lons
+        got1 = K.point_in_rings(py, px, o1, [])
+        got2 = K.point_in_rings(py, px, o2, [])
+        assert (got1 == got2).all()
+
+
 class TestCoverageProperties:
     @given(
         a=st.floats(-60, 50, allow_nan=False),
