@@ -100,6 +100,38 @@ def cell_key(lat, lon, level: int):
     return pack_key(level, iy, ix)
 
 
+def cell_keys_multi(lat, lon, levels) -> dict:
+    """{level: keys} for several probe levels from ONE float pass.
+
+    Bit-identical to calling ``cell_key`` per level: the normalized
+    fractions v are computed once, ``v * 2^L`` is an EXACT power-of-two
+    scaling of the same rounded v for every L, so
+    ``floor(v * 2^L) == floor(v * 2^Lmax) >> (Lmax - L)`` holds exactly
+    (nested-floor identity over exact scalings; property-tested).  The
+    adaptive index probes 4-5 levels per point — this replaces the per-level
+    float pipeline (normalize, scale, floor, clip, two casts) with two int64
+    shifts, roughly halving the key-derivation memory traffic in the
+    flagship kernel's hot loop."""
+    levels = sorted(int(L) for L in levels)
+    if not levels:
+        return {}
+    for L in levels:
+        if not 0 <= L <= MAX_LEVEL:
+            raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = norm_lon(lon)
+    Lm = levels[-1]
+    nlat = np.int64(1) << Lm
+    nlon = np.int64(2) << Lm
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * nlat).astype(np.int64), 0, nlat - 1)
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * nlon).astype(np.int64), 0, nlon - 1)
+    out = {Lm: pack_key(Lm, iy, ix)}
+    for L in levels[:-1]:
+        k = Lm - L
+        out[L] = pack_key(L, iy >> k, ix >> k)
+    return out
+
+
 def pack_key(level, iy, ix):
     level = np.int64(level)
     return (level << _LEVEL_SHIFT) | (np.asarray(iy, dtype=np.int64) << _IY_SHIFT) | np.asarray(ix, dtype=np.int64)
@@ -312,18 +344,28 @@ def clip_edges_for_cell(edges: np.ndarray, min_lat, max_lat, min_lon) -> np.ndar
     return edges[keep & ~west]
 
 
-def point_in_edges(lats, lons, edges: np.ndarray):
+def point_in_edges(lats, lons, edges: np.ndarray, frame: tuple | None = None):
     """Ray-cast parity against an explicit (k,4) edge set (same half-open
     rule as point_in_ring).  Callers are responsible for the edge set being
     parity-preserving for these points (see clip_edges_for_cell).  Probe
-    lons are shifted into the edges' continuous frame when the edges came
-    from an antimeridian-wrapped region (identity otherwise)."""
+    lons are shifted into the REGION's continuous frame when the edges came
+    from an antimeridian-wrapped region (identity otherwise).
+
+    ``frame``: the owning region's (lon_lo, lon_hi) continuous frame.
+    Callers holding the region should pass it: re-deriving the frame from a
+    clipped edge SUBSET is wrong when the subset's max lon sits exactly at
+    180.0 for a wrapped region — the `hi <= 180` identity check would then
+    skip the probe shift and the parity would be cast against probes 360°
+    away.  The subset-derived fallback remains for bare edge sets."""
     ys = np.asarray(lats, dtype=np.float64)
     xs = np.asarray(lons, dtype=np.float64)
     if edges.shape[0] == 0:
         return np.zeros(ys.shape[0], dtype=bool)
-    elo = float(min(edges[:, 1].min(), edges[:, 3].min()))
-    ehi = float(max(edges[:, 1].max(), edges[:, 3].max()))
+    if frame is not None:
+        elo, ehi = frame
+    else:
+        elo = float(min(edges[:, 1].min(), edges[:, 3].min()))
+        ehi = float(max(edges[:, 1].max(), edges[:, 3].max()))
     xs = wrap_lons_to_frame(xs, elo, ehi)
     y1 = edges[:, 0][None, :]
     x1 = edges[:, 1][None, :]
@@ -395,7 +437,10 @@ def segment_intersects_rect(y1, x1, y2, x2, min_lat, max_lat, min_lon, max_lon):
     ):
         para_out = (p == 0) & (q < 0)
         ok &= ~para_out
-        with np.errstate(divide="ignore", invalid="ignore"):
+        # over="ignore": q/p overflows to ±inf for denormal-tiny p — inf
+        # participates correctly in the max/min clamps below, but the
+        # warning would fail the property suite under -W error
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             r = q / p
         enter = p < 0
         leave = p > 0
@@ -457,11 +502,28 @@ def unwrap_rings(outer_rings, inner_rings=()):
 
     Identity (same list elements, no copies) for geometry already inside
     [-180, 180] — the bit-exactness guarantee the oracle fixtures rely on.
+    The cross-ring alignment below only runs when some ring actually wraps
+    (an unwrap fired, or input lons exit [-180, 180]): a non-wrapped
+    multipolygon whose rings legitimately sit > 180° apart in longitude
+    (Guam + Alaska) must NOT have a ring shifted by 360 — each ring's
+    ray-cast is frame-local, so mixed far-apart frames are fine as long as
+    no shift perturbs the stored float magnitudes.
     """
-    outs = [_unwrap_one(np.asarray(r, dtype=np.float64)) for r in outer_rings]
-    inns = [_unwrap_one(np.asarray(r, dtype=np.float64)) for r in inner_rings]
+
+    def _prep(r):
+        a = np.asarray(r, dtype=np.float64)
+        u = _unwrap_one(a)
+        wrapped = (u is not a) or float(a[:, 1].min()) < -180.0 or float(a[:, 1].max()) > 180.0
+        return u, wrapped
+
+    prep_o = [_prep(r) for r in outer_rings]
+    prep_i = [_prep(r) for r in inner_rings]
+    outs = [u for u, _ in prep_o]
+    inns = [u for u, _ in prep_i]
     if not outs and not inns:
         return outs, inns
+    if not any(w for _, w in prep_o + prep_i):
+        return outs, inns  # nothing wraps: identity, no cross-ring alignment
     ref = (outs or inns)[0]
     ref_mid = (float(ref[:, 1].min()) + float(ref[:, 1].max())) / 2.0
 

@@ -39,9 +39,13 @@ def build_cell_candidates(cell_index_pdf: pd.DataFrame, rings: dict | None = Non
       searchsorted + mask-row OR, NO per-cell Python (a per-cell loop over
       the adaptive index's thousands of fine cells was pure interpreter
       overhead — measured 2× the whole flagship);
-    - ``part_payload[i]`` lists ``(region_id, clipped_edges|None)`` for
-      boundary (partial) candidates — the only per-cell work left, on a
-      thin point-sparse minority of cells.
+    - ``part_payload[i]`` lists ``(region_id, clipped_edges|None, lon_lo,
+      lon_hi)`` for boundary (partial) candidates — the only per-cell work
+      left, on a thin point-sparse minority of cells.  (lon_lo, lon_hi) is
+      the owning REGION's continuous longitude frame, threaded through so
+      query-time probe shifting never re-derives a frame from the clipped
+      edge subset (whose max lon can sit exactly at 180.0 for a wrapped
+      region and defeat the identity check).
 
     When ``rings`` (region_id → (outers, inners)) is given, each partial
     candidate's boundary is PRE-CLIPPED to the cell (kernels.
@@ -81,7 +85,7 @@ def build_cell_candidates(cell_index_pdf: pd.DataFrame, rings: dict | None = Non
         for row in np.flatnonzero(~sfull):
             g = grp_idx[row]
             r = int(srid[row])
-            cl = None
+            cl, elo, ehi = None, -180.0, 180.0
             if rings is not None:
                 cached = region_edges.get(r)
                 if cached is None:
@@ -104,7 +108,7 @@ def build_cell_candidates(cell_index_pdf: pd.DataFrame, rings: dict | None = Non
                 )
             if part_payload[g] is None:
                 part_payload[g] = []
-            part_payload[g].append((r, cl))
+            part_payload[g].append((r, cl, elo, ehi))
             has_part[g] = True
         levels[int(lv)] = (uniq, full_masks, part_payload, has_part)
     return {"n_regions": n_regions, "n_words": n_words, "levels": levels}
@@ -193,12 +197,18 @@ def map_spatial_join(
             vidx = np.flatnonzero(valid)
             la_v = la[vidx]
             lo_v = lo[vidx]
+            # all probe-level keys from ONE float pass (bit-identical to
+            # per-level cell_key; shifts derive the coarser levels)
+            pkeys_by_level = (
+                K.cell_keys_multi(la_v, lo_v, index_levels)
+                if len(la_v)
+                else {lv: np.empty(0, np.int64) for lv in index_levels}
+            )
             for lv in index_levels:
                 lkeys, full_masks, part_payload, has_part = tabs[lv]
                 if not len(lkeys):
                     continue
-                # key at this probe level by pure arithmetic from lat/lon
-                pkeys = K.cell_key(la_v, lo_v, lv) if len(la_v) else np.empty(0, np.int64)
+                pkeys = pkeys_by_level[lv]
                 pos = np.searchsorted(lkeys, pkeys)
                 pos[pos >= len(lkeys)] = len(lkeys) - 1
                 hit = lkeys[pos] == pkeys
@@ -221,10 +231,12 @@ def map_spatial_join(
                         sel = si[s:e]
                         la_sel = la[sel]  # copy once per cell, not per region
                         lo_sel = lo[sel]
-                        for rid, cl in part_payload[u]:
+                        for rid, cl, flo, fhi in part_payload[u]:
                             word, bit = divmod(rid, 63)
                             if cl is not None:
-                                hits_ = K.point_in_edges(la_sel, lo_sel, cl)
+                                hits_ = K.point_in_edges(
+                                    la_sel, lo_sel, cl, frame=(flo, fhi)
+                                )
                             else:
                                 outers, inners = rings[rid]
                                 hits_ = K.point_in_rings(la_sel, lo_sel, outers, inners)

@@ -34,6 +34,7 @@ from libosmtools_spark.geom.columns import (
     wrap_sq_euclid_deg_col,
 )
 from libosmtools_spark.joins.spatial import with_cell_key
+from libosmtools_spark.sim.topk import topk_rows
 
 #: ranking metrics: 'flat' = plain squared-degree euclid (the oracle-default
 #: contract); 'wrap' = Δlon wrapped around ±180° (geodesically honest near
@@ -49,7 +50,9 @@ BRUTE_THRESHOLD = 200_000
 def knn_brute(points: DataFrame, id_col: str, k: int = 5, lat: str = "lat", lon: str = "lon",
               metric: str = "flat") -> DataFrame:
     """Broadcast the full point matrix; per Arrow batch one numpy distance
-    block + lexsort.  Exact, shuffle-free."""
+    block + linear-time top-k selection (sim.topk.topk_rows — exact
+    (distance asc, id asc) order at O(n) per row instead of a full
+    argsort).  Exact, shuffle-free."""
     assert metric in _METRIC_COLS
     wrap = metric == "wrap"
     spark = points.sparkSession
@@ -81,11 +84,13 @@ def knn_brute(points: DataFrame, id_col: str, k: int = 5, lat: str = "lat", lon:
                     dlon = np.minimum(dlon, 360.0 - dlon)
                 d2 = (qla[qi, None] - nla[None, :]) ** 2 + dlon * dlon
                 d2[qids[qi, None] == nids[None, :]] = np.inf  # self-exclusion
-                top = np.argsort(d2, axis=1, kind="stable")[:, :k]
-                m = top.shape[0]
-                rows[id_col].extend(np.repeat(qids[qi], k).tolist())
+                # corpus is id-sorted, so column order = id order and
+                # topk_rows' (d2 asc, column asc) rule IS (d2 asc, id asc)
+                top = topk_rows(d2, k)
+                m, kk = top.shape
+                rows[id_col].extend(np.repeat(qids[qi], kk).tolist())
                 rows["neighbor_id"].extend(nids[top].ravel().tolist())
-                rows["rank"].extend(np.tile(np.arange(1, k + 1), m).tolist())
+                rows["rank"].extend(np.tile(np.arange(1, kk + 1), m).tolist())
             yield pd.DataFrame(rows)
 
     return points.select(id_col, lat, lon).mapInPandas(part, schema)

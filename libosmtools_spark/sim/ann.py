@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from libosmtools_spark.sim.topk import topk_rows
+
 #: corpora up to this many rows broadcast whole (same posture as the
 #: region store / knn_join's brute threshold — a dimension-scale index)
 BRUTE_MAX_ROWS = 200_000
@@ -66,9 +68,14 @@ def _empty_topk(embeddings: DataFrame, id_col: str) -> DataFrame:
 
 
 def _collect_matrix(embeddings: DataFrame, id_col: str, vec_col: str):
+    """Corpus as (ids, M, norms), SORTED by id ascending — column order =
+    id order, so topk_rows' (score, column asc) tie rule is exactly the
+    (score, neighbor-id asc) contract with no per-row lexsort."""
     pdf = embeddings.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
-    M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    M = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
     norms = np.linalg.norm(M, axis=1)
     norms[norms == 0] = 1.0
     return ids, M, norms
@@ -107,16 +114,18 @@ def cosine_topk_brute(
             qn[qn == 0] = 1.0
             S = (Q / qn[:, None]) @ Mn.T  # (q, n) cosine matrix
             qids = pdf[id_col].to_numpy()
-            rows = {"qid": [], "neighbor_id": [], "rank": []}
-            for r in range(S.shape[0]):
-                s = S[r].copy()
-                self_mask = nids == qids[r]
-                s[self_mask] = -np.inf
-                order = np.lexsort((nids, -s))[:k]
-                rows["qid"].extend([qids[r]] * len(order))
-                rows["neighbor_id"].extend(nids[order].tolist())
-                rows["rank"].extend(range(1, len(order) + 1))
-            yield pd.DataFrame(rows)
+            S[qids[:, None] == nids[None, :]] = -np.inf  # self-exclusion
+            # corpus is id-sorted: topk_rows(-S) gives exact
+            # (cosine desc, id asc) at O(n) per row — no per-row lexsort
+            top = topk_rows(-S, k)
+            m, kk = top.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, kk),
+                    "neighbor_id": nids[top].ravel(),
+                    "rank": np.tile(np.arange(1, kk + 1), m),
+                }
+            )
 
     return (
         embeddings.select(id_col, vec_col)
@@ -175,24 +184,29 @@ def cosine_topk_blocked(
         Q = np.stack(left["qv"].to_numpy()).astype(np.float64)
         qn = np.linalg.norm(Q, axis=1)
         qn[qn == 0] = 1.0
-        M = np.stack(right["nv"].to_numpy()).astype(np.float64)
+        nids = right["nid"].to_numpy()
+        # sort the corpus block by nid so topk_rows' column-order tie rule
+        # is the (cosine desc, nid asc) contract (blocks arrive unordered)
+        nord = np.argsort(nids, kind="stable")
+        nids = nids[nord]
+        M = np.stack(right["nv"].to_numpy()[nord]).astype(np.float64)
         mn = np.linalg.norm(M, axis=1)
         mn[mn == 0] = 1.0
         S = (Q / qn[:, None]) @ (M / mn[:, None]).T
         qids = left["qid"].to_numpy()
-        nids = right["nid"].to_numpy()
-        rows = {"qid": [], "neighbor_id": [], "cosine": []}
-        kk = min(k, S.shape[1])
-        for r in range(S.shape[0]):
-            s = S[r].copy()
-            s[nids == qids[r]] = -np.inf
-            order = np.lexsort((nids, -s))[:kk]
-            keep = s[order] > -np.inf
-            order = order[keep]
-            rows["qid"].extend([qids[r]] * len(order))
-            rows["neighbor_id"].extend(nids[order].tolist())
-            rows["cosine"].extend(s[order].tolist())
-        return pd.DataFrame(rows)
+        S[qids[:, None] == nids[None, :]] = -np.inf  # self-exclusion
+        top = topk_rows(-S, min(k, S.shape[1]))
+        m, kk = top.shape
+        rows_idx = np.arange(m)[:, None]
+        sel = S[rows_idx, top]
+        keep = (sel > -np.inf).ravel()  # drop the self slots (one block owns them)
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(qids, kk)[keep],
+                "neighbor_id": nids[top].ravel()[keep],
+                "cosine": sel.ravel()[keep],
+            }
+        )
 
     partials = (
         q.groupBy("qb", "cb")
@@ -515,12 +529,10 @@ def ivf_assign_udf(centroids: np.ndarray, n_probe: int):
         V = np.stack(vec.to_numpy()).astype(np.float64)
         Q = np.floor(V * LSH_QUANT)
         S = (Q @ Cq.T) / norms[None, :]  # exact ints / exact norms
-        idx = np.arange(L)
-        out = []
-        for r in range(len(V)):
-            order = np.lexsort((idx, -S[r]))[:n_probe]
-            out.append([int(x) for x in order])
-        return pd.Series(out)
+        # columns ARE list ids 0..L-1, so topk_rows' column tie rule is
+        # exactly "ties break to the smaller list id"
+        order = topk_rows(-S, n_probe).astype(np.int32)
+        return pd.Series(list(order))
 
     return assign
 

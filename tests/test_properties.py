@@ -4,10 +4,15 @@ so these run in milliseconds and fuzz far wider than the fixture corpus.
 """
 
 import numpy as np
+import pytest
 from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from libosmtools_spark.geom import kernels as K
+
+# numeric kernels must be warning-clean (VERDICT r4 item 6): any
+# RuntimeWarning from the numpy kernels fails these modules outright
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
 
 lat_s = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
 lon_s = st.floats(min_value=-540.0, max_value=540.0, allow_nan=False)
@@ -214,3 +219,18 @@ class TestCoverageProperties:
         ])
         ok = edge > 1e-6
         assert (got_flat[ok] == direct[ok]).all()
+
+
+class TestCellKeysMultiProperty:
+    @given(lat=lat_s, lon=lon_s)
+    @settings(max_examples=300, deadline=None)
+    @example(lat=90.0, lon=180.0)
+    @example(lat=-90.0, lon=-180.0)
+    @example(lat=np.nextafter(90.0, 0.0), lon=np.nextafter(180.0, -180.0))
+    def test_multi_equals_per_level(self, lat, lon):
+        """Shift-derived keys == per-level cell_key for every level subset
+        (the nested-floor identity the flagship kernel relies on)."""
+        levels = [0, 2, 6, 9, 10, 17, K.MAX_LEVEL]
+        multi = K.cell_keys_multi([lat], [lon], levels)
+        for L in levels:
+            assert multi[L][0] == K.cell_key([lat], [lon], L)[0]
