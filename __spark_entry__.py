@@ -534,6 +534,22 @@ def q_pip_region_rows(spark, sf_dir):
     return hits.select("doc_id", "region_id")
 
 
+def q_pip_region_rows_shuffle(spark, sf_dir):
+    """Forced-DISTRIBUTED physical path of pip_region_rows: the cell index
+    joins WITHOUT the broadcast hint (broadcast_index=False) — the
+    shuffle-join plan for stores too large to broadcast.  Same logical
+    contract and oracle as pip_region_rows (the pattern knn_ring /
+    ann_cosine_blocked follow for their forced paths)."""
+    from libosmtools_spark.joins.spatial import spatial_join_adaptive, with_cell_key
+
+    _, rings_bcast, cell_index = _engine(spark)
+    pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
+    hits = spatial_join_adaptive(
+        pts, cell_index, rings_bcast, LEVEL, MAX_LEVEL, broadcast_index=False
+    )
+    return hits.select("doc_id", "region_id")
+
+
 def q_pip_region_sets(spark, sf_dir):
     rows = q_pip_region_rows(spark, sf_dir)
     docs = _points(spark, sf_dir).select("doc_id")
@@ -1002,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     raw = {
         # spatial core (G4/G6/T4/T9/T13 + north-rule kNN / raster↔vector)
         "pip_region_rows": q_pip_region_rows,
+        "pip_region_rows_shuffle": q_pip_region_rows_shuffle,
         "pip_region_sets": q_pip_region_sets,
         "cell_assign": q_cell_assign,
         "cells_dict": q_cells_dict,
@@ -1161,6 +1178,7 @@ def oracle_sql() -> dict[str, str]:
 
     out = {
         "pip_region_rows": f"WITH pts AS ({POINTS_CTE})\n{PIP_ROWS_SQL}",
+        "pip_region_rows_shuffle": f"WITH pts AS ({POINTS_CTE})\n{PIP_ROWS_SQL}",
         "pip_antimeridian": f"WITH pts AS ({POINTS_CTE})\n{antim_rows}",
         "flagship_antimeridian": f"""
             WITH pts AS ({POINTS_CTE}),

@@ -187,11 +187,17 @@ def connected_components(cells: DataFrame, max_iter: int = 50, algo: str = "auto
     )
 
 
-#: above this many hot cells the literal-isin fast path would embed a
-#: plan-sized literal list (and collect() a non-dimension-scale set to the
-#: driver: at 10^12 rows / 8000 per cell the hot set can reach ~10^8) —
-#: switch to the anti-join resolution instead
+#: above this many hot cells the collected set stops being driver-safe
+#: (at 10^12 rows / 8000 per cell the hot set can reach ~10^8) — switch to
+#: the fully-distributed anti-join resolution with a LAZY hot-side plan
 DEFAULT_MAX_HOT_CELLS = 100_000
+
+#: up to this many hot cells the final keys are a pure literal-isin
+#: expression (no joins at all); between this and DEFAULT_MAX_HOT_CELLS the
+#: hot set still fits the driver but a 10k+-literal isin bloats the plan
+#: (codegen size, plan serialization to every task) — that middle band
+#: ships the collected hot rows as a BROADCAST side of the anti-join
+LITERAL_MAX_HOT_CELLS = 10_000
 
 
 def refine_oversized(
@@ -203,6 +209,7 @@ def refine_oversized(
     key_col: str = "cell_key",
     max_rounds: int = 16,
     max_hot_cells: int | None = DEFAULT_MAX_HOT_CELLS,
+    literal_max_hot_cells: int = LITERAL_MAX_HOT_CELLS,
 ) -> DataFrame:
     """points(…, lat, lon, cell_key) → same rows with cell_key subdivided
     wherever a cell exceeded ``max_points`` (CellTriangleCountCriteria
@@ -224,12 +231,20 @@ def refine_oversized(
        (a child's count doesn't depend on whether its parent split, so
        all split decisions are determined by these unconditional counts);
     2. the HOT set (count > max_points) is the skew tail — usually
-       dimension-scale.  Up to ``max_hot_cells`` it collects to the driver
-       and each row's final key is the first non-hot level — a pure
-       literal-isin expression, no loop, no shuffle.  Beyond the bound the
-       hot set stays distributed: candidate (row, level) pairs anti-join
-       the hot table and a min-by-level agg picks each row's first safe
-       level — no driver materialization, no plan-size literal.
+       dimension-scale.  Three bands by hot-set size:
+       - ≤ LITERAL_MAX_HOT_CELLS: pure literal-isin expression — no loop,
+         no shuffle, no join;
+       - ≤ max_hot_cells: the collected hot rows ship as a BROADCAST
+         anti-join side (a 10k+-literal isin bloats codegen and plan
+         serialization; the broadcast costs one small table instead);
+       - beyond: fully distributed — candidate (row, level) pairs
+         anti-join the LAZY hot plan and a min-by-level agg picks each
+         row's first safe level.  No driver materialization at any size.
+       Both join bands return an EAGERLY MATERIALIZED result
+       (localCheckpoint, like knn_ring) — the row-id linking the two scans
+       of the input must be pinned (see _resolve_with_join), and callers in
+       long-lived sessions release it via
+       ``session.release_local_checkpoint``.
 
     ``max_rounds`` caps the refinement depth below ``max_level`` (the
     reference's loop bound, OsmTriangulationRegionStore.h:513)."""
@@ -265,16 +280,16 @@ def refine_oversized(
 
     # ONE job decides the path: collect at most max_hot_cells+1 hot rows —
     # if the result fits, it IS the complete hot set (limit(N) returns all
-    # M rows when M ≤ N) and the literal fast path applies; an overflow
-    # falls through to the distributed resolution (which recomputes the
-    # hot agg lazily inside the join — the rare, already-expensive case)
+    # M rows when M ≤ N); an overflow falls through to the fully
+    # distributed resolution (which recomputes the hot agg lazily inside
+    # the join — the rare, already-expensive case)
     hot_rows = None
     if max_hot_cells is not None:
         probe = hot.limit(max_hot_cells + 1).collect()
         if len(probe) <= max_hot_cells:
             hot_rows = probe
 
-    if hot_rows is not None:
+    if hot_rows is not None and len(hot_rows) <= literal_max_hot_cells:
         if not hot_rows:
             return points
         hot_by_level: dict[int, set] = {}
@@ -291,16 +306,49 @@ def refine_oversized(
             branches.append(F.when(F.lit(L == cap) | not_hot, key_l))
         return points.withColumn(key_col, F.coalesce(*branches, F.col(key_col)))
 
-    # distributed resolution: anti-join candidates against the hot table,
-    # keep each row's first safe level.  Explode factor ≤ max_rounds; the
-    # hot side is broadcast when small (Catalyst/AQE decide), shuffled
-    # otherwise — nothing driver-side grows with the hot-cell count.
-    # The row id ties the two references of pts_id together; it requires
-    # deterministic input lineage (scans + narrow transforms + Spark's
-    # sort-before-repartition default all qualify) so both evaluations
-    # assign identical ids.
+    if hot_rows is not None:
+        # middle band: the hot set fits the driver but would bloat the plan
+        # as literals — ship it back as a broadcast anti-join side instead
+        spark = points.sparkSession
+        hot_df = F.broadcast(spark.createDataFrame(hot_rows, schema="L int, k long"))
+        return _resolve_with_join(points, hot_df, probe_levels, depth_cap, lat, lon, key_col)
+
+    # fully distributed resolution: the hot side stays a lazy plan —
+    # broadcast when small (Catalyst/AQE decide), shuffled otherwise;
+    # nothing driver-side grows with the hot-cell count
+    return _resolve_with_join(points, hot, probe_levels, depth_cap, lat, lon, key_col)
+
+
+def _resolve_with_join(
+    points: DataFrame,
+    hot: DataFrame,
+    probe_levels: list,
+    depth_cap: int,
+    lat: str,
+    lon: str,
+    key_col: str,
+) -> DataFrame:
+    """Anti-join resolution shared by the broadcast middle band and the
+    fully distributed band: explode each row into its (level, key)
+    candidates (explode factor ≤ max_rounds), drop the hot ones, keep the
+    first safe level per row.
+
+    The row id that ties the candidate explode back to its source row is
+    PINNED by an eager localCheckpoint before fan-out:
+    monotonically_increasing_id is nondeterministic on re-evaluation (task
+    retries, nondeterministic upstream lineage such as sample/limit), and
+    the two join legs below would otherwise read two independent
+    evaluations of the same uncached plan and silently mis-join.  The
+    checkpointed id'd input is released once the (also checkpointed)
+    result is materialized — the returned DataFrame owns one persisted
+    block set; long-lived sessions release it via
+    ``session.release_local_checkpoint``."""
+    from libosmtools_spark.session import release_local_checkpoint
+
     rid = F.monotonically_increasing_id().alias("_rid")
-    pts_id = points.select(F.struct(*points.columns).alias("_row"), rid)
+    pts_id = points.select(F.struct(*points.columns).alias("_row"), rid).localCheckpoint(
+        eager=True
+    )
     final_struct = F.struct(
         F.lit(depth_cap).alias("L"),
         cell_key_col(F.col("_row." + lat), F.col("_row." + lon), depth_cap).alias("k"),
@@ -325,4 +373,10 @@ def refine_oversized(
         F.col("_row").alias("_r"), F.col("m.k").alias("_new_key")
     )
     cols = [F.col("_r." + c).alias(c) for c in points.columns if c != key_col]
-    return out.select(*cols, F.col("_new_key").alias(key_col)).select(*points.columns)
+    out = (
+        out.select(*cols, F.col("_new_key").alias(key_col))
+        .select(*points.columns)
+        .localCheckpoint(eager=True)
+    )
+    release_local_checkpoint(pts_id)
+    return out

@@ -219,6 +219,60 @@ class TestANN:
         assert out["p"].apply(lambda p: len(set(p)) == 3).all()  # distinct lists
         assert out["p"].apply(lambda p: all(0 <= x < 8 for x in p)).all()
 
+    def test_ivf_trained_quantizer_beats_seed(self, spark):
+        """On a clustered corpus (the real-world embedding shape) the
+        trained spherical-k-means quantizer must reach top-k recall >= the
+        seed (first-n-by-id) quantizer at equal n_probe — and be
+        deterministic across runs."""
+        from libosmtools_spark.sim.ann import (
+            cosine_topk_brute,
+            ivf_seed_centroids,
+            ivf_topk,
+            ivf_train_centroids,
+        )
+
+        rng = np.random.default_rng(5)
+        centers = rng.normal(size=(25, 32)) * 3.0
+        # ids ordered cluster-by-cluster: the seed quantizer's first-25
+        # vectors all come from the first clusters — the adversarial (and
+        # realistic: ingest order correlates with source) case
+        X = np.concatenate(
+            [c + rng.normal(size=(40, 32)) for c in centers], axis=0
+        )
+        rows = [(int(i), v.tolist()) for i, v in enumerate(X)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+        exact = cosine_topk_brute(emb, k=5).toPandas()
+        want = set(zip(exact["vec_id"], exact["neighbor_id"]))
+
+        def recall(cents):
+            got = ivf_topk(emb, k=5, n_lists=25, n_probe=2, centroids=cents).toPandas()
+            have = set(zip(got["vec_id"], got["neighbor_id"]))
+            return len(have & want) / len(want)
+
+        trained = ivf_train_centroids(emb, n_lists=25)
+        trained2 = ivf_train_centroids(emb, n_lists=25)
+        np.testing.assert_array_equal(trained, trained2)  # deterministic
+        r_seed = recall(ivf_seed_centroids(emb, 25))
+        r_trained = recall(trained)
+        emb.unpersist()
+        assert r_trained >= r_seed, (r_trained, r_seed)
+        assert r_trained >= 0.9, r_trained  # probes cover the true cluster
+
+    def test_ivf_trained_sampling_deterministic(self, spark):
+        """The hash-sampled training path (corpus > sample_rows) is
+        deterministic and produces valid unit-norm centroids."""
+        from libosmtools_spark.sim.ann import ivf_train_centroids
+
+        rng = np.random.default_rng(9)
+        X = rng.normal(size=(800, 16))
+        rows = [(int(i), v.tolist()) for i, v in enumerate(X)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        c1 = ivf_train_centroids(emb, n_lists=8, sample_rows=200)
+        c2 = ivf_train_centroids(emb, n_lists=8, sample_rows=200)
+        np.testing.assert_array_equal(c1, c2)
+        assert c1.shape == (8, 16)
+        np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-9)
+
     def test_cosine_dup_pairs_paths_agree(self, embeddings):
         """Exact near-dup pairs: brute and block-nested-loop physical paths
         emit the identical pair set."""

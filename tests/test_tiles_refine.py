@@ -299,10 +299,17 @@ class TestRefineHotSetFallback:
         pts.count()
         lit = refine_oversized(pts, max_points=20, max_hot_cells=10**9)
         jn = refine_oversized(pts, max_points=20, max_hot_cells=0)
+        # middle band: hot set fits the driver but exceeds the literal cap
+        # → collected hot rows ship as a broadcast anti-join side
+        mid = refine_oversized(
+            pts, max_points=20, max_hot_cells=10**9, literal_max_hot_cells=0
+        )
         a = {r["id"]: r["cell_key"] for r in lit.select("id", "cell_key").collect()}
         b = {r["id"]: r["cell_key"] for r in jn.select("id", "cell_key").collect()}
+        c = {r["id"]: r["cell_key"] for r in mid.select("id", "cell_key").collect()}
         pts.unpersist()
         assert a == b
+        assert a == c
         # the split actually happened (some keys moved past level 6)
         assert any((k >> 55) > 6 for k in a.values())
 
