@@ -95,16 +95,60 @@ def calibrate_multi(nproc: int, seconds: float = 4.0) -> float:
     return round(total * 0.1 / wall, 2)
 
 
+def _bw_worker(seconds: float, q) -> None:
+    import numpy as _np
+
+    a = _np.arange(4_000_000, dtype=_np.float64)  # 32 MB — beats any L3 share
+    b = _np.empty_like(a)
+    n = 0
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < seconds:
+        _np.copyto(b, a)
+        b *= 1.0000001
+        n += 1
+    q.put(n * a.nbytes * 3 / (time.monotonic() - t0) / 1e9)
+
+
+def membw_multi(nproc: int, seconds: float = 2.0) -> float:
+    """Aggregate streaming memory bandwidth (GB/s) at ``nproc`` processes —
+    the CONTENTION DISCRIMINATOR the busy-loop ceiling cannot provide: the
+    register-only calibration is blind to memory-bandwidth saturation,
+    which on this single-box sandbox is the binding constraint (measured:
+    ~21 GB/s at 1 proc, ~65 at 4, ~90 at 16 — aggregate saturates, so a
+    fully bandwidth-bound job CANNOT exceed (bw16/bw4)/4 ≈ 0.35 efficiency
+    from 4→16 threads here, while a real N→4N multi-executor cluster adds
+    a memory controller per node and does not share this ceiling).  The
+    per-pair ratio in the artifact lets a low wall-efficiency pair be
+    attributed: if the same window's bandwidth ratio dropped too, the
+    limit was the host, not the engine."""
+    import multiprocessing as mp
+
+    q = mp.Queue()
+    ps = [mp.Process(target=_bw_worker, args=(seconds, q)) for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return round(sum(q.get() for _ in ps), 1)
+
+
 class Timed:
-    """min-of-N estimator carrying the CPU-seconds of the best-wall run."""
+    """min-of-N estimator carrying the CPU-seconds of the best-wall run,
+    plus the minimum CPU-seconds over ALL runs (``min_cpu``) — the
+    least-contended per-cycle cost estimate, independent of which run had
+    the best wall (a best-wall run in a contended window can still carry
+    inflated CPU)."""
 
     def __init__(self):
         self.wall = None
         self.cpu = None
+        self.min_cpu = None
 
     def add(self, wall: float, cpu: float) -> None:
         if self.wall is None or wall < self.wall:
             self.wall, self.cpu = wall, cpu
+        if self.min_cpu is None or cpu < self.min_cpu:
+            self.min_cpu = cpu
 
     def run(self, fn):
         c0, t0 = cpu_sec(), time.monotonic()
@@ -342,23 +386,36 @@ def scaling_section(fixtures: str) -> dict:
     region store), same pre-materialized input, at N and 4N cores, each
     run in a fresh subprocess (own JVM).  N=4 → 4N=16 stays within the
     sandbox's physical-core scaling envelope (raw sustained-CPU efficiency
-    4→16 procs ≈ 0.81 measured here, vs ≈ 0.76 at 8→32).  Each outer run
-    measures lo then hi back-to-back (one window pair); the headline
-    efficiency is the MINIMUM pairwise ratio; the CPU-seconds of each
-    best run bound the per-cycle inflation independently of wall noise."""
+    4→16 procs ≈ 0.81 measured here, vs ≈ 0.76 at 8→32).
+
+    Estimators (unchanged from round 4 — the round-4 lesson is MORE PAIRS
+    plus a recorded discriminator, not another estimator rotation):
+    - headline ``scaling_efficiency`` = MINIMUM same-window pairwise ratio,
+      clamped at 1.0; ``scaling_efficiency_median`` = median pairwise.
+    - per-cycle cross-check ``scaling_cpu_inflation`` now uses the MINIMUM
+      CPU-seconds over all runs per config (the least-contended window's
+      per-cycle cost) — a best-wall run can still carry contended CPU.
+    Per-pair discriminators carried in the artifact:
+    - busy-loop ceiling ratio (register-only: SMT/frequency contention);
+    - streaming memory-bandwidth ratio (membw_multi: the single-box
+      constraint a multi-node cluster does not share — aggregate bandwidth
+      here saturates near 4 procs, so (bw_hi/bw_lo)/4 is the efficiency
+      FLOOR any bandwidth-bound phase is pinned to in that window);
+    - per-pair CPU inflation.
+    A pair reading low efficiency WITH depressed bandwidth/ceiling ratios
+    and inflated CPU is host-side evidence, not an engine property."""
     import subprocess
 
     # inflate=128 (25.6M pages): at 64 the 16-core wall (~13 s) sat in
-    # fixed-overhead territory and run noise moved the ratio ±0.05;
-    # measured at 128: 0.899 / 0.858 across contended windows
+    # fixed-overhead territory and run noise moved the ratio ±0.05
     inflate = int(os.environ.get("SPARK_GRAFT_SCALE_INFLATE", "128"))
     n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-    # each outer run is one fresh-JVM subprocess per config (inner
-    # min-of-2); outer runs alternate configs so one noisy window
-    # cannot sink a single config's only sample (measured: a lone
-    # 16-core sample in a depressed-floor window read 0.50 efficiency
-    # where the alternating estimator reads 0.81)
-    runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+    # >=4 alternating window-pairs (round-4 verdict item 1): each outer run
+    # is one fresh-JVM subprocess per config (inner min-of-2); outer runs
+    # alternate configs so one noisy window cannot sink a single config's
+    # only sample, and with 4 pairs the min/median split separates "one bad
+    # window" from "systematically low"
+    runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "4"))
     n_hi = 4 * n_lo
 
     # materialize the inflated corpus ONCE, outside every timer: a real
@@ -373,54 +430,82 @@ def scaling_section(fixtures: str) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     timers = {n_lo: Timed(), n_hi: Timed()}
     walls: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    cpus_all: dict[int, list[float]] = {n_lo: [], n_hi: []}
     ceilings: dict[int, list[float]] = {n_lo: [], n_hi: []}
+    bws: dict[int, list[float]] = {n_lo: [], n_hi: []}
     n_pages = 0
     for _ in range(runs):
         for cpus in (n_lo, n_hi):  # lo/hi back-to-back = one window pair
-            # same-window hardware ceiling at THIS parallelism, right
-            # before the run it brackets
+            # same-window hardware ceiling + memory bandwidth at THIS
+            # parallelism, right before the run they bracket
             ceilings[cpus].append(calibrate_multi(cpus))
+            bws[cpus].append(membw_multi(cpus))
             out = subprocess.run(
                 [sys.executable, "-c", _SCALE_RUNNER, str(cpus), fixtures, inflated, repo],
                 capture_output=True, text=True, timeout=900,
             )
-            rec = json.loads(
-                [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            )
+            lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if out.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"scaling run (cpus={cpus}) failed rc={out.returncode}: "
+                    f"{out.stderr[-800:]}"
+                )
+            rec = json.loads(lines[-1])
             timers[cpus].add(rec["sec"], rec["cpu_sec"])
             walls[cpus].append(round(rec["sec"], 3))
+            cpus_all[cpus].append(round(rec["cpu_sec"], 1))
             n_pages = rec["n"]
     thr = {c: n_pages / timers[c].wall for c in (n_lo, n_hi)}
+    speedup = n_hi / n_lo
     # HEADLINE estimator: per-PAIR ratios (each outer run measures lo then
     # hi back-to-back in one window), MINIMUM across pairs — the
     # conservative claim "even the worst same-window pair scaled this
     # well".  Taking min wall per config across DIFFERENT windows instead
     # pairs one config's lucky window with the other's unlucky one —
     # measured swinging from 0.56 to an impossible 1.15 on this shared VM
-    pair_effs = sorted(
-        round((lo / hi) / (n_hi / n_lo), 3)
-        for lo, hi in zip(walls[n_lo], walls[n_hi])
-    )
+    raw_pairs = [
+        round((lo / hi) / speedup, 3) for lo, hi in zip(walls[n_lo], walls[n_hi])
+    ]
+    pair_effs = sorted(raw_pairs)
     # clamp at 1.0: local[N] vs local[4N] inside ONE container is a proxy —
     # JVM service threads (GC, netty, parquet footers) are host-wide in
     # both configs, which can disadvantage the small config and read
     # super-linear (pairs up to 1.2 observed).  >1 means "scaled at least
     # linearly within proxy error"; the raw pairwise list stays alongside
     eff = min(pair_effs[0], 1.0)
-    eff_min_walls = (thr[n_hi] / thr[n_lo]) / (n_hi / n_lo)
-    # max-of-N per config = the least-interfered calibration window; the
-    # ratio is the ceiling ANY job could have reached between these two
-    # parallelism levels on this hardware in this window (raw sustained-CPU
-    # ceiling measured ≈0.81 for 4→16 on an idle day)
-    ceiling = (max(ceilings[n_hi]) / max(ceilings[n_lo])) / (n_hi / n_lo)
+    mid = pair_effs[len(pair_effs) // 2] if len(pair_effs) % 2 else (
+        pair_effs[len(pair_effs) // 2 - 1] + pair_effs[len(pair_effs) // 2]
+    ) / 2
+    eff_median = min(round(mid, 3), 1.0)
+    eff_min_walls = (thr[n_hi] / thr[n_lo]) / speedup
+    # per-pair discriminators, window-matched to raw_pairs by index
+    pair_ceiling = [
+        round((hi / lo) / speedup, 3) for lo, hi in zip(ceilings[n_lo], ceilings[n_hi])
+    ]
+    pair_bw_floor = [
+        round((hi / lo) / speedup, 3) for lo, hi in zip(bws[n_lo], bws[n_hi])
+    ]
+    pair_cpu_inflation = [
+        round(hi / max(lo, 1e-9), 3) for lo, hi in zip(cpus_all[n_lo], cpus_all[n_hi])
+    ]
+    # calibration-normalized pairwise: how much of the same-window busy-loop
+    # ceiling the engine reached (≥1 = the engine scaled as well as ANY
+    # compute could have in that window)
+    pair_vs_ceiling = [
+        round(min(e / max(c, 1e-9), 9.99), 3) for e, c in zip(raw_pairs, pair_ceiling)
+    ]
+    # max-of-N per config = the least-interfered calibration window
+    ceiling = (max(ceilings[n_hi]) / max(ceilings[n_lo])) / speedup
     return {
         "scaling": {
             str(c): {
                 "sec": round(timers[c].wall, 3),
                 "cpu_sec": round(timers[c].cpu, 1),
+                "min_cpu_sec": round(timers[c].min_cpu, 1),
                 "pages_per_sec": round(thr[c], 1),
                 "cores_busy": round(timers[c].cpu / timers[c].wall, 1),
                 "all_runs_sec": walls[c],
+                "all_runs_cpu_sec": cpus_all[c],
             }
             for c in (n_lo, n_hi)
         },
@@ -428,14 +513,60 @@ def scaling_section(fixtures: str) -> dict:
         "scaling_n_pages": n_pages,
         "scaling_runs_per_config": runs,
         "scaling_calibration_miter_s": {str(c): ceilings[c] for c in (n_lo, n_hi)},
+        "scaling_membw_gbs": {str(c): bws[c] for c in (n_lo, n_hi)},
         "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_pairwise": pair_effs,
+        "scaling_efficiency_median": eff_median,
+        "scaling_efficiency_pairwise": raw_pairs,
         "scaling_efficiency_min_walls": round(eff_min_walls, 3),
+        "scaling_pair_ceiling_ratio": pair_ceiling,
+        "scaling_pair_bw_floor": pair_bw_floor,
+        "scaling_pair_cpu_inflation": pair_cpu_inflation,
+        "scaling_pair_vs_ceiling": pair_vs_ceiling,
         "scaling_hw_ceiling_same_window": round(ceiling, 3),
         "scaling_efficiency_vs_ceiling": round(eff / ceiling, 3),
-        # wall-independent cross-check: CPU-seconds inflation hi vs lo
-        "scaling_cpu_inflation": round(timers[n_hi].cpu / max(timers[n_lo].cpu, 1e-9), 3),
+        # wall-independent cross-check on least-contended windows
+        "scaling_cpu_inflation": round(
+            timers[n_hi].min_cpu / max(timers[n_lo].min_cpu, 1e-9), 3
+        ),
     }
+
+
+#: keys lifted from the full result into the final compact headline line.
+#: The driver captures only the TAIL of stdout (~2k chars) and parses the
+#: last '{'-line — round 4's single fat line outgrew that capture and the
+#: whole round's measurements fell out of the authoritative artifact
+#: (BENCH_r04.json parsed: null).  Detail lines/files come FIRST; the
+#: headline line is printed LAST and kept under HEADLINE_MAX_CHARS
+#: (asserted in tests/test_bench_format.py).
+HEADLINE_KEYS = (
+    "metric",
+    "value",
+    "unit",
+    "queries",
+    "sf",
+    "n_pages",
+    "cpus",
+    "scaling_efficiency",
+    "scaling_efficiency_median",
+    "scaling_efficiency_pairwise",
+    "scaling_cpu_inflation",
+    "scaling_pair_bw_floor",
+    "scaling_hw_ceiling_same_window",
+)
+HEADLINE_MAX_CHARS = 1500
+
+
+def headline_line(result: dict) -> str:
+    """The compact driver-parseable JSON line (see HEADLINE_KEYS)."""
+    head = {k: result[k] for k in HEADLINE_KEYS if k in result}
+    if "skew" in result:
+        head["skew_work_ratio"] = result["skew"].get("work_ratio")
+    line = json.dumps(head, separators=(",", ":"))
+    if len(line) > HEADLINE_MAX_CHARS:  # degrade gracefully, never overflow
+        head.pop("queries", None)
+        head["queries_dropped_for_length"] = True
+        line = json.dumps(head, separators=(",", ":"))
+    return line
 
 
 def main() -> None:
@@ -483,7 +614,18 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         result.update(scaling_section(fixtures))
 
-    print(json.dumps(result))
+    # full detail: first stdout line (may exceed the driver's tail capture
+    # — that's fine, it is not the parsed line) + a file for human readers
+    detail = json.dumps(result)
+    print(detail)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "bench_detail.json"), "w") as f:
+            f.write(detail + "\n")
+    except OSError:
+        pass
+    # the driver-parseable compact headline goes LAST
+    print(headline_line(result))
 
 
 if __name__ == "__main__":
