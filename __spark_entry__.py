@@ -993,6 +993,50 @@ def q_extract_regions(spark, sf_dir):
     )
 
 
+def q_cell_center_mass(spark, sf_dir):
+    """T11 — per-cell center of mass over the documents points (exact
+    integer micro-degree sums → partition-order-independent means; see
+    tiles.materialize.cell_center_of_mass)."""
+    from libosmtools_spark.cells.assign import assign_point_cell_ids
+    from libosmtools_spark.joins.spatial import with_cell_key
+    from libosmtools_spark.tiles.materialize import cell_center_of_mass
+
+    cells = _doc_cells_dict(spark, sf_dir)
+    pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
+    pc = assign_point_cell_ids(pts, cells)
+    return cell_center_of_mass(pc.select("cell_id", "lat", "lon"))
+
+
+def q_cell_point_stats(spark, sf_dir):
+    """T22 — corpus-wide per-cell occupancy stats (cell 0 excluded), exact
+    median for the oracle contract (tiles.materialize.cell_stats)."""
+    from libosmtools_spark.cells.assign import assign_point_cell_ids
+    from libosmtools_spark.joins.spatial import with_cell_key
+    from libosmtools_spark.tiles.materialize import cell_stats
+
+    cells = _doc_cells_dict(spark, sf_dir)
+    pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
+    pc = assign_point_cell_ids(pts, cells)
+    return cell_stats(pc.select("doc_id", "cell_id"), exact_median=True)
+
+
+def q_region_sort(spark, sf_dir):
+    """G3 — OsmGridRegionTree::sort: reorder extracted regions by name and
+    reassign dense ids, keeping the invalidated id as old_region_id
+    (extract.areas.sort_regions)."""
+    from libosmtools_spark.extract.areas import extract_regions, sort_regions
+
+    fx = _fixtures_for(sf_dir)
+    nodes = spark.read.parquet(f"{fx}/nodes.parquet")
+    ways = spark.read.parquet(f"{fx}/ways.parquet")
+    rels = spark.read.parquet(f"{fx}/relations.parquet")
+    out = sort_regions(extract_regions(nodes, ways, rels), by=["name"])
+    return out.select(
+        "region_id", "old_region_id", "source", "orig_id",
+        F.coalesce("name", F.lit("")).alias("name"),
+    ).distinct()
+
+
 def q_flagship_page_cells(spark, sf_dir):
     """The full flagship pipeline over the repo pages fixtures (rows-only:
     golden parity is asserted in pytest)."""
@@ -1038,6 +1082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_antimeridian": q_pip_antimeridian,
         "flagship_antimeridian": q_flagship_antimeridian,
         "hop_split": q_hop_split,
+        "cell_center_mass": q_cell_center_mass,
+        "cell_point_stats": q_cell_point_stats,
+        "region_sort": q_region_sort,
         # text / dedup / similarity / multimodal
         "token_count": q_token_count,
         "quality": q_quality,
@@ -1214,6 +1261,54 @@ def oracle_sql() -> dict[str, str]:
             dk AS (SELECT doc_id, {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key FROM documents)
             SELECT dk.doc_id, dk.cell_key, cf.cell_id
             FROM dk JOIN cells_final cf ON dk.cell_key = cf.cell_key
+        """,
+        # T11: integer micro-degree sums are exact (1e-6-snapped coords),
+        # finished by the same two IEEE divisions as the Spark operator —
+        # bit-identical in any engine and any summation order
+        "cell_center_mass": f"""
+            WITH {CELL_SETS_CTE},
+            dk AS (SELECT doc_id, {LAT_SQL} AS lat, {LON_SQL} AS lon,
+                          {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key FROM documents)
+            SELECT cf.cell_id, count(*) AS n_points,
+                   (CAST(sum(CAST(round(dk.lat * 1000000.0) AS BIGINT)) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) / 1000000.0 AS com_lat,
+                   (CAST(sum(CAST(round(dk.lon * 1000000.0) AS BIGINT)) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)) / 1000000.0 AS com_lon
+            FROM dk JOIN cells_final cf ON dk.cell_key = cf.cell_key
+            GROUP BY cf.cell_id
+        """,
+        # T22: quantile_cont == Spark's exact linear-interpolation
+        # percentile; mean = exact int sum / count (one IEEE division)
+        "cell_point_stats": f"""
+            WITH {CELL_SETS_CTE},
+            dk AS (SELECT doc_id, {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key FROM documents),
+            sizes AS (
+              SELECT cf.cell_id, count(*) AS n
+              FROM dk JOIN cells_final cf ON dk.cell_key = cf.cell_key
+              WHERE cf.cell_id <> 0
+              GROUP BY cf.cell_id
+            )
+            SELECT min(n) AS min_points, max(n) AS max_points,
+                   quantile_cont(n, 0.5) AS median_points,
+                   CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_points,
+                   count(*) AS n_cells
+            FROM sizes
+        """,
+        # G3 golden: independently derived from the fixture tags BEFORE
+        # running the engine — name-sorted (engine sorts nulls first; the
+        # query coalesces null names to '' which sorts identically), ties
+        # by (source, orig_id), dense re-rank, old id retained
+        "region_sort": """
+            SELECT * FROM (VALUES
+              (0, 1, 'relation', CAST(201 AS BIGINT), ''),
+              (1, 2, 'relation', CAST(203 AS BIGINT), ''),
+              (2, 3, 'relation', CAST(205 AS BIGINT), ''),
+              (3, 4, 'relation', CAST(206 AS BIGINT), ''),
+              (4, 6, 'way', CAST(105 AS BIGINT), ''),
+              (5, 7, 'way', CAST(106 AS BIGINT), ''),
+              (6, 0, 'relation', CAST(200 AS BIGINT), 'mp'),
+              (7, 5, 'way', CAST(100 AS BIGINT), 'sq')
+            ) t(region_id, old_region_id, source, orig_id, name)
         """,
         "knn": f"""
             WITH pts AS ({POINTS_CTE}),

@@ -121,9 +121,28 @@ def cell_sizes(point_cells: DataFrame) -> DataFrame:
 def cell_center_of_mass(point_cells_latlon: DataFrame) -> DataFrame:
     """T11: mean of member point coords per cell
     (/root/reference/src/OsmTriangulationRegionStore.cpp:294-320 — mean of
-    face centroids; points are our faces' sample set)."""
-    return point_cells_latlon.groupBy("cell_id").agg(
-        F.avg("lat").alias("com_lat"), F.avg("lon").alias("com_lon")
+    face centroids; points are our faces' sample set).
+
+    The mean is computed over EXACT integer micro-degree sums (coords are
+    1e-6-snapped by the G5 contract, so round(lat·1e6) is the exact snap
+    integer and the int64 sum is exact), finished by two IEEE divisions —
+    the result is bit-identical in any engine and ANY partition/summation
+    order, unlike a float avg() whose value varies run-to-run with Spark's
+    partition order.  SQL mirror: (CAST(sum(CAST(round(lat*1000000.0) AS
+    BIGINT)) AS DOUBLE) / count(*)) / 1000000.0."""
+    lat_u = F.round(F.col("lat") * 1e6).cast("long")
+    lon_u = F.round(F.col("lon") * 1e6).cast("long")
+    agg = point_cells_latlon.groupBy("cell_id").agg(
+        F.count("*").alias("n_points"),
+        F.sum(lat_u).alias("_slat"),
+        F.sum(lon_u).alias("_slon"),
+    )
+    n = F.col("n_points").cast("double")
+    return agg.select(
+        "cell_id",
+        "n_points",
+        (F.col("_slat").cast("double") / n / F.lit(1e6)).alias("com_lat"),
+        (F.col("_slon").cast("double") / n / F.lit(1e6)).alias("com_lon"),
     )
 
 
@@ -133,17 +152,27 @@ def region_cells_inverted(cells: DataFrame) -> DataFrame:
     return cells.select("cell_key", "cell_id", F.explode("region_ids").alias("region_id"))
 
 
-def cell_stats(point_cells: DataFrame) -> DataFrame:
+def cell_stats(point_cells: DataFrame, exact_median: bool = False) -> DataFrame:
     """T22: min/max/median/mean points per cell, cell 0 excluded
-    (/root/reference/src/OsmTriangulationRegionStore.cpp:1088-1111)."""
+    (/root/reference/src/OsmTriangulationRegionStore.cpp:1088-1111).
+
+    ``exact_median=False`` (default): percentile_approx — the per-cell
+    sizes table can itself be large at 10^12 rows and the exact percentile
+    funnels every group value through one task.  ``exact_median=True``:
+    Spark's exact linear-interpolation percentile — same definition as
+    DuckDB quantile_cont, used by the driver oracle.  The mean is
+    sum(int)/count (exact integer sum, one IEEE division) either way."""
     sizes = point_cells.filter(F.col("cell_id") != 0).groupBy("cell_id").agg(
         F.count("*").alias("n")
+    )
+    median = (
+        F.expr("percentile(n, 0.5)") if exact_median else F.expr("percentile_approx(n, 0.5)")
     )
     return sizes.agg(
         F.min("n").alias("min_points"),
         F.max("n").alias("max_points"),
-        F.expr("percentile_approx(n, 0.5)").alias("median_points"),
-        F.avg("n").alias("mean_points"),
+        median.alias("median_points"),
+        (F.sum("n").cast("double") / F.count("*").cast("double")).alias("mean_points"),
         F.count("*").alias("n_cells"),
     )
 
