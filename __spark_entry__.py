@@ -1020,6 +1020,18 @@ def q_cell_point_stats(spark, sf_dir):
     return cell_stats(pc.select("doc_id", "cell_id"), exact_median=True)
 
 
+def q_hop_distances(spark, sf_dir):
+    """T23 — BFS hop distances over the cell dual graph from cell_id 1
+    (tiles.materialize.cell_hop_distances; count-gated local/loop
+    dispatch, parity-tested)."""
+    from libosmtools_spark.tiles.materialize import cell_dual_graph, cell_hop_distances
+
+    cells = _doc_cells_dict(spark, sf_dir)
+    return cell_hop_distances(
+        cell_dual_graph(cells.select("cell_key", "cell_id")), source_cell_id=1
+    )
+
+
 def q_region_sort(spark, sf_dir):
     """G3 — OsmGridRegionTree::sort: reorder extracted regions by name and
     reassign dense ids, keeping the invalidated id as old_region_id
@@ -1085,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_center_mass": q_cell_center_mass,
         "cell_point_stats": q_cell_point_stats,
         "region_sort": q_region_sort,
+        "hop_distances": q_hop_distances,
         # text / dedup / similarity / multimodal
         "token_count": q_token_count,
         "quality": q_quality,
@@ -1293,6 +1306,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_points,
                    count(*) AS n_cells
             FROM sizes
+        """,
+        # T23: BFS shortest-hop via UNION-dedup recursive CTE over the
+        # dual-graph edges (the connected_components pattern); the hop cap
+        # (count of cell ids) guarantees termination on cycles, min(hop)
+        # collapses the longer walks
+        "hop_distances": f"""
+            WITH RECURSIVE {CELL_SETS_CTE},
+            g AS (SELECT cell_key, cell_id, {CK_IY} AS iy, {CK_IX} AS ix FROM cells_final),
+            e AS (
+              SELECT DISTINCT a.cell_id AS src, b.cell_id AS dst
+              FROM g a JOIN g b
+                ON abs(a.iy - b.iy) <= 1
+               AND (abs(a.ix - b.ix) <= 1 OR abs(a.ix - b.ix) = 127)
+               AND NOT (a.iy = b.iy AND a.ix = b.ix)
+              WHERE a.cell_id <> b.cell_id
+            ),
+            reach(cell_id, hop) AS (
+              SELECT CAST(1 AS BIGINT) AS cell_id, CAST(0 AS BIGINT) AS hop
+              UNION
+              SELECT e.dst, r.hop + 1 FROM e JOIN reach r ON e.src = r.cell_id
+              WHERE r.hop + 1 <= (SELECT count(DISTINCT cell_id) FROM g)
+            )
+            SELECT cell_id, min(hop) AS hop FROM reach GROUP BY cell_id
         """,
         # G3 golden: independently derived from the fixture tags BEFORE
         # running the engine — name-sorted (engine sorts nulls first; the

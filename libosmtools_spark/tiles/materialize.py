@@ -16,6 +16,7 @@ plus the north-rule raster↔vector requirement).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -107,6 +108,95 @@ def cell_dual_graph(cells: DataFrame) -> DataFrame:
         .distinct()
         .orderBy("cell_id_a", "cell_id_b")
     )
+
+
+#: dual-graph edge sets up to this many rows take the driver-local
+#: vectorized BFS (the dual graph derives from the broadcastable cells
+#: dictionary — edges ≤ 8 × cells, dimension-scale by the same argument)
+LOCAL_BFS_MAX_EDGES = 4_000_000
+
+
+def cell_hop_distances(
+    dual_edges: DataFrame,
+    source_cell_id: int,
+    max_iter: int = 10_000,
+    algo: str = "auto",
+) -> DataFrame:
+    """T23 — hop distances over the cell dual graph: (cell_id, hop) for
+    every cell reachable from ``source_cell_id``, hop = BFS shortest path
+    length (/root/reference/src/OsmTriangulationRegionStore.cpp:382-429 —
+    the hop metric the reference's cell splitting and diameter checks
+    walk).  Cells outside the source's component are absent.
+
+    ``algo`` (the connected_components dispatch pattern):
+    - 'auto': count-gated — dimension-scale edge sets run one vectorized
+      numpy BFS on the driver (frontier sweeps over a CSR-ish neighbor
+      array); larger graphs fall through to 'loop'.
+    - 'loop': distributed frontier expansion — per round the frontier
+      equi-joins the edge table, anti-joins the visited set, and both are
+      localCheckpointed (lineage cut); O(diameter) rounds, each a bounded
+      shuffle on cell ids only.  Both paths produce the identical
+      distance map (parity-tested and driver-oracled)."""
+    assert algo in ("auto", "loop")
+    edges = dual_edges.select("cell_id_a", "cell_id_b")
+    if algo == "auto":
+        if edges.count() <= LOCAL_BFS_MAX_EDGES:
+            import pandas as pd
+
+            pdf = edges.toPandas()
+            a = pdf["cell_id_a"].to_numpy(dtype=np.int64)
+            b = pdf["cell_id_b"].to_numpy(dtype=np.int64)
+            # undirected: both directions, nodes remapped to 0..m-1
+            src = np.concatenate([a, b])
+            dst = np.concatenate([b, a])
+            nodes = np.unique(np.concatenate([a, b, [source_cell_id]]))
+            s = np.searchsorted(nodes, src)
+            d = np.searchsorted(nodes, dst)
+            dist = np.full(len(nodes), -1, dtype=np.int64)
+            start = int(np.searchsorted(nodes, source_cell_id))
+            dist[start] = 0
+            frontier = np.array([start], dtype=np.int64)
+            hop = 0
+            while len(frontier):
+                hop += 1
+                mask = np.isin(s, frontier)
+                cand = np.unique(d[mask])
+                cand = cand[dist[cand] < 0]
+                dist[cand] = hop
+                frontier = cand
+            found = dist >= 0
+            out = pd.DataFrame(
+                {"cell_id": nodes[found], "hop": dist[found]}
+            )
+            return dual_edges.sparkSession.createDataFrame(
+                out, schema="cell_id long, hop long"
+            )
+        algo = "loop"
+
+    spark = dual_edges.sparkSession
+    both = edges.unionByName(
+        edges.select(
+            F.col("cell_id_b").alias("cell_id_a"), F.col("cell_id_a").alias("cell_id_b")
+        )
+    ).localCheckpoint()
+    visited = spark.createDataFrame(
+        [(int(source_cell_id), 0)], "cell_id long, hop long"
+    ).localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(both, frontier.cell_id == both.cell_id_a)
+            .select(F.col("cell_id_b").alias("cell_id"))
+            .distinct()
+            .join(visited.select("cell_id"), "cell_id", "left_anti")
+            .withColumn("hop", F.lit(hop).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
 
 
 def cell_sizes(point_cells: DataFrame) -> DataFrame:

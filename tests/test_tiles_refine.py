@@ -336,3 +336,56 @@ class TestRefineHotSetFallback:
             F.shiftright("cell_key", 55).alias("lv")
         ).distinct().collect()
         assert {r["lv"] for r in levels} == {11}  # everyone split one level
+
+
+class TestHopDistances:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "cell_id_a long, cell_id_b long")
+
+    def _reference_bfs(self, pairs, src):
+        """Independent dict-based BFS (different formulation)."""
+        from collections import deque
+
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    def test_local_and_loop_agree_with_reference(self, spark):
+        from libosmtools_spark.tiles.materialize import cell_hop_distances
+
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        # a random sparse graph + a disjoint component that must be absent
+        pairs = sorted(
+            {tuple(sorted(p)) for p in rng.integers(1, 40, size=(80, 2)) if p[0] != p[1]}
+        )
+        pairs += [(100, 101), (101, 102)]  # unreachable component
+        pairs = [(int(a), int(b)) for a, b in pairs]
+        want = self._reference_bfs(pairs, 1)
+        edges = self._edges(spark, pairs)
+        for algo in ("auto", "loop"):
+            got = {
+                r["cell_id"]: r["hop"]
+                for r in cell_hop_distances(edges, 1, algo=algo).collect()
+            }
+            assert got == want, algo
+        assert 100 not in want  # disjoint component really excluded
+
+    def test_isolated_source(self, spark):
+        from libosmtools_spark.tiles.materialize import cell_hop_distances
+
+        edges = self._edges(spark, [(5, 6)])
+        for algo in ("auto", "loop"):
+            got = cell_hop_distances(edges, 99, algo=algo).collect()
+            assert [(r["cell_id"], r["hop"]) for r in got] == [(99, 0)], algo
