@@ -1032,6 +1032,32 @@ def q_hop_distances(spark, sf_dir):
     )
 
 
+def q_cell_graph_diameter(spark, sf_dir):
+    """T7 — max-hop diameter of the cell dual graph (exact all-pairs under
+    the size cutoff, double-sweep beyond; tiles.materialize.
+    cell_graph_diameter wrapping cells/hopsplit.max_hop_pair)."""
+    from libosmtools_spark.tiles.materialize import cell_dual_graph, cell_graph_diameter
+
+    cells = _doc_cells_dict(spark, sf_dir)
+    return cell_graph_diameter(cell_dual_graph(cells.select("cell_key", "cell_id")))
+
+
+def q_split_criteria(spark, sf_dir):
+    """T19 — cell-split decision under CellTriangleCountCriteria
+    (cells/criteria.count_criterion; /root/reference/src/CellCriteria.cpp:24-26):
+    per cell, its occupancy and whether the count bound flags it for
+    splitting (max_count=1 — the fixture's occupancies are 1-2)."""
+    from libosmtools_spark.cells.criteria import count_criterion
+    from libosmtools_spark.joins.spatial import with_cell_key
+
+    pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
+    counts = pts.groupBy("cell_key").agg(F.count("*").alias("n_points"))
+    crit = count_criterion(1)
+    return counts.select(
+        "cell_key", "n_points", crit(counts).alias("needs_split")
+    )
+
+
 def q_region_sort(spark, sf_dir):
     """G3 — OsmGridRegionTree::sort: reorder extracted regions by name and
     reassign dense ids, keeping the invalidated id as old_region_id
@@ -1098,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_point_stats": q_cell_point_stats,
         "region_sort": q_region_sort,
         "hop_distances": q_hop_distances,
+        "cell_graph_diameter": q_cell_graph_diameter,
+        "split_criteria": q_split_criteria,
         # text / dedup / similarity / multimodal
         "token_count": q_token_count,
         "quality": q_quality,
@@ -1329,6 +1357,39 @@ def oracle_sql() -> dict[str, str]:
               WHERE r.hop + 1 <= (SELECT count(DISTINCT cell_id) FROM g)
             )
             SELECT cell_id, min(hop) AS hop FROM reach GROUP BY cell_id
+        """,
+        # T7: all-pairs min-hop over the dual graph (tiny by construction —
+        # nodes are cell ids), diameter = max over connected pairs
+        "cell_graph_diameter": f"""
+            WITH RECURSIVE {CELL_SETS_CTE},
+            g AS (SELECT cell_key, cell_id, {CK_IY} AS iy, {CK_IX} AS ix FROM cells_final),
+            e AS (
+              SELECT DISTINCT a.cell_id AS src, b.cell_id AS dst
+              FROM g a JOIN g b
+                ON abs(a.iy - b.iy) <= 1
+               AND (abs(a.ix - b.ix) <= 1 OR abs(a.ix - b.ix) = 127)
+               AND NOT (a.iy = b.iy AND a.ix = b.ix)
+              WHERE a.cell_id <> b.cell_id
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM e),
+            reach(src, dst, hop) AS (
+              SELECT id, id, CAST(0 AS BIGINT) FROM nodes
+              UNION
+              SELECT r.src, e.dst, r.hop + 1 FROM e JOIN reach r ON e.src = r.dst
+              WHERE r.hop + 1 <= (SELECT count(*) FROM nodes)
+            ),
+            mins AS (SELECT src, dst, min(hop) AS m FROM reach GROUP BY src, dst)
+            SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+                   (SELECT count(*) // 2 FROM e) AS n_edges,
+                   max(m) AS diameter
+            FROM mins
+        """,
+        # T19: the count criterion is a pure occupancy predicate
+        "split_criteria": f"""
+            SELECT {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key,
+                   count(*) AS n_points,
+                   (count(*) > 1) AS needs_split
+            FROM documents GROUP BY 1
         """,
         # G3 golden: independently derived from the fixture tags BEFORE
         # running the engine — name-sorted (engine sorts nulls first; the

@@ -199,6 +199,54 @@ def cell_hop_distances(
     return visited
 
 
+def cell_graph_diameter(dual_edges: DataFrame, exact_cutoff: int | None = None) -> DataFrame:
+    """T7 — max-hop diameter of the cell dual graph with the reference's
+    exact/approx size switch
+    (/root/reference/include/osmtools/OsmTriangulationRegionStore.h:513 —
+    EXACT_DIAMETER_MAX_UNITS): exact all-pairs BFS when the node count is
+    under the cutoff, randomized double-sweep beyond (cells/hopsplit.
+    max_hop_pair — the same kernel the T6 splitter uses per cell).
+
+    Driver-local by the dimension-scale contract (the dual graph derives
+    from the broadcastable cells dictionary; guarded by
+    LOCAL_BFS_MAX_EDGES).  Returns one row (n_nodes, n_edges, diameter) —
+    diameter is the max eccentricity over all components (nodes = edge
+    endpoints; isolated ids have no hops to measure)."""
+    from libosmtools_spark.cells.hopsplit import EXACT_DIAMETER_PRACTICAL, max_hop_pair
+
+    if exact_cutoff is None:
+        exact_cutoff = EXACT_DIAMETER_PRACTICAL
+    n_edges_df = dual_edges.count()
+    if n_edges_df > LOCAL_BFS_MAX_EDGES:
+        raise ValueError(
+            f"cell_graph_diameter: {n_edges_df} edges exceed the dimension-scale "
+            f"bound ({LOCAL_BFS_MAX_EDGES}); the dual graph should derive from a "
+            "broadcastable cells dictionary"
+        )
+    pdf = dual_edges.select("cell_id_a", "cell_id_b").toPandas()
+    a = pdf["cell_id_a"].to_numpy(dtype=np.int64)
+    b = pdf["cell_id_b"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    spark = dual_edges.sparkSession
+    if len(nodes) == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0)], "n_nodes long, n_edges long, diameter long"
+        )
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    starts = np.searchsorted(src_s, np.arange(len(nodes) + 1))
+    adj = [dst_s[starts[i]: starts[i + 1]] for i in range(len(nodes))]
+    _, _, diam = max_hop_pair(adj, exact_cutoff)
+    return spark.createDataFrame(
+        [(int(len(nodes)), int(len(pdf)), int(diam))],
+        "n_nodes long, n_edges long, diameter long",
+    )
+
+
 def cell_sizes(point_cells: DataFrame) -> DataFrame:
     """T10: per-cell point count + representative (first point id seen —
     deterministic: min id).  (/root/reference/src/OsmTriangulationRegionStore.cpp:280-292)."""

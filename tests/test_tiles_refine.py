@@ -389,3 +389,42 @@ class TestHopDistances:
         for algo in ("auto", "loop"):
             got = cell_hop_distances(edges, 99, algo=algo).collect()
             assert [(r["cell_id"], r["hop"]) for r in got] == [(99, 0)], algo
+
+
+class TestCellGraphDiameter:
+    def test_path_graph_exact(self, spark):
+        """A 10-node path has diameter 9 (known closed form)."""
+        from libosmtools_spark.tiles.materialize import cell_graph_diameter
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 10)], "cell_id_a long, cell_id_b long"
+        )
+        row = cell_graph_diameter(edges).collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["diameter"]) == (10, 9, 9)
+
+    def test_disconnected_takes_max_component(self, spark):
+        from libosmtools_spark.tiles.materialize import cell_graph_diameter
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "cell_id_a long, cell_id_b long"
+        )
+        row = cell_graph_diameter(edges).collect()[0]
+        assert row["diameter"] == 3  # the 4-node path wins
+
+    def test_approx_switch_lower_bounds(self, spark):
+        """Above the cutoff the double-sweep runs; on a path graph the
+        double-sweep is exact, so forcing cutoff=2 must still find 9."""
+        from libosmtools_spark.tiles.materialize import cell_graph_diameter
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 10)], "cell_id_a long, cell_id_b long"
+        )
+        row = cell_graph_diameter(edges, exact_cutoff=2).collect()[0]
+        assert row["diameter"] == 9
+
+    def test_empty(self, spark):
+        from libosmtools_spark.tiles.materialize import cell_graph_diameter
+
+        edges = spark.createDataFrame([], "cell_id_a long, cell_id_b long")
+        row = cell_graph_diameter(edges).collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["diameter"]) == (0, 0, 0)
