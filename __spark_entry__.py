@@ -1053,8 +1053,10 @@ def q_split_criteria(spark, sf_dir):
     pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
     counts = pts.groupBy("cell_key").agg(F.count("*").alias("n_points"))
     crit = count_criterion(1)
+    # int 0/1 rather than boolean: the driver's cross-engine value hash has
+    # no other boolean column to prove its canonicalization on
     return counts.select(
-        "cell_key", "n_points", crit(counts).alias("needs_split")
+        "cell_key", "n_points", crit(counts).cast("int").alias("needs_split")
     )
 
 
@@ -1388,7 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         "split_criteria": f"""
             SELECT {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key,
                    count(*) AS n_points,
-                   (count(*) > 1) AS needs_split
+                   CAST((count(*) > 1) AS INTEGER) AS needs_split
             FROM documents GROUP BY 1
         """,
         # G3 golden: independently derived from the fixture tags BEFORE
