@@ -467,6 +467,7 @@ def scaling_section(fixtures: str) -> dict:
             pe[len(pe) // 2 - 1] + pe[len(pe) // 2]
         ) / 2
 
+    t_section = time.monotonic()
     for _ in range(runs):
         run_pair()
     # ADAPTIVE EXTENSION, not cherry-picking: when the gate medians are
@@ -475,8 +476,11 @@ def scaling_section(fixtures: str) -> dict:
     # re-weighted), the estimate just gains samples exactly when the
     # windows were dirty and the estimate is least certain
     max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "2"))
+    # extras respect a wall budget so the whole bench stays inside any
+    # outer harness timeout — the base pairs always run
+    budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_EXTRA_BUDGET_S", "2400"))
     extra = 0
-    while extra < max_extra and (
+    while extra < max_extra and time.monotonic() - t_section < budget_s and (
         median_eff() < 0.8
         or min((lo / hi) / speedup for lo, hi in zip(walls[n_lo], walls[n_hi])) < 0.8
     ):
