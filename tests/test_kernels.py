@@ -281,3 +281,22 @@ class TestCellKeysMulti:
         assert K.cell_keys_multi([], [], []) == {}
         one = K.cell_keys_multi([1.0], [2.0], [6])
         np.testing.assert_array_equal(one[6], K.cell_key([1.0], [2.0], 6))
+
+
+class TestPointInEdgesFrame:
+    def test_region_frame_overrides_subset_inference(self):
+        """ADVICE r4 corner case: a wrapped region's clipped edge subset
+        whose max lon sits EXACTLY at 180.0 lies entirely inside
+        [-180, 180], so frame inference from the subset skips the probe
+        shift and casts the ray 360° away.  Passing the owning region's
+        frame (as build_cell_candidates now does) shifts correctly."""
+        # edge from (0,174) to (2,180) — the west wall fragment a cell
+        # just east of the line keeps; owning region spans 174..186
+        sub = np.array([[0.0, 174.0, 2.0, 180.0]])
+        lats = np.array([1.0])
+        lons = np.array([-179.5])  # continuous frame: 180.5, east of the edge
+        got = K.point_in_edges(lats, lons, sub, frame=(174.0, 186.0))
+        assert not got[0]  # edge crosses lat=1 at x=177 < 180.5: no crossing
+        # legacy subset-inferred frame reads (174,180) ⊂ [-180,180] → no
+        # shift → spurious crossing at x=177 > -179.5 → wrong 'inside'
+        assert K.point_in_edges(lats, lons, sub)[0]
