@@ -300,3 +300,30 @@ class TestPointInEdgesFrame:
         # legacy subset-inferred frame reads (174,180) ⊂ [-180,180] → no
         # shift → spurious crossing at x=177 > -179.5 → wrong 'inside'
         assert K.point_in_edges(lats, lons, sub)[0]
+
+
+class TestUnwrapFarApartRings:
+    def test_far_apart_rings_untouched(self):
+        """ADVICE r4: a non-wrapped multipolygon whose rings legitimately
+        sit > 180° apart in longitude (Guam + Alaska shape) must pass
+        through unwrap_rings with zero shifts — alignment only runs when
+        something actually wraps."""
+        alaska = K.rect_ring(55.0, -165.0, 62.0, -150.0)
+        guam = K.rect_ring(13.0, 144.0, 14.0, 145.0)
+        outs, inns = K.unwrap_rings([alaska, guam], [])
+        assert inns == []
+        np.testing.assert_array_equal(outs[0], alaska)
+        np.testing.assert_array_equal(outs[1], guam)
+        # PIP still correct per ring in its own frame
+        assert K.point_in_rings([58.0], [-160.0], outs, [])[0]
+        assert K.point_in_rings([13.5], [144.5], outs, [])[0]
+        assert not K.point_in_rings([13.5], [-160.0], outs, [])[0]
+
+    def test_wrapped_plus_far_ring_still_aligns_wrapped_one(self):
+        """When one ring wraps, alignment runs (unchanged r4 behavior) and
+        the wrapped ring's PIP stays correct on both sides of the line."""
+        fiji = K.rect_ring(-18.0, 177.0, -16.0, 183.0)  # continuous frame
+        outs, _ = K.unwrap_rings([fiji], [])
+        assert K.point_in_rings([-17.0], [178.0], outs, [])[0]
+        assert K.point_in_rings([-17.0], [-178.5], outs, [])[0]  # = 181.5
+        assert not K.point_in_rings([-17.0], [170.0], outs, [])[0]
