@@ -1060,6 +1060,22 @@ def q_split_criteria(spark, sf_dir):
     )
 
 
+def q_cells_roundtrip(spark, sf_dir):
+    """S11/T24 — serialized-form equality through the catalog sink: the
+    cells dictionary writes via run.catalog.write_table (cell-prefix
+    partitioned parquet; Iceberg writeTo when a catalog is present) and
+    reads back via read_table.  The oracle is the cells dictionary itself
+    — the round trip must be row-exact through the partitioned layout."""
+    import tempfile
+
+    from libosmtools_spark.run.catalog import read_table, write_table
+
+    cells = _doc_cells_dict(spark, sf_dir).select("cell_key", "cell_id")
+    root = tempfile.mkdtemp(prefix="losmtools_rt_")
+    write_table(cells, "cells_rt", root)
+    return read_table(spark, "cells_rt", root).select("cell_key", "cell_id")
+
+
 def q_region_sort(spark, sf_dir):
     """G3 — OsmGridRegionTree::sort: reorder extracted regions by name and
     reassign dense ids, keeping the invalidated id as old_region_id
@@ -1128,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hop_distances": q_hop_distances,
         "cell_graph_diameter": q_cell_graph_diameter,
         "split_criteria": q_split_criteria,
+        "cells_roundtrip": q_cells_roundtrip,
         # text / dedup / similarity / multimodal
         "token_count": q_token_count,
         "quality": q_quality,
@@ -1299,6 +1316,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cell_assign": f"SELECT doc_id, {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key FROM documents",
         "cells_dict": f"WITH {CELL_SETS_CTE} SELECT cell_key, cell_id FROM cells_final",
+        # S11/T24: the sink round trip must reproduce the dictionary exactly
+        "cells_roundtrip": f"WITH {CELL_SETS_CTE} SELECT cell_key, cell_id FROM cells_final",
         "doc_cell_ids": f"""
             WITH {CELL_SETS_CTE},
             dk AS (SELECT doc_id, {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key FROM documents)
