@@ -1065,13 +1065,23 @@ def q_cells_roundtrip(spark, sf_dir):
     cells dictionary writes via run.catalog.write_table (cell-prefix
     partitioned parquet; Iceberg writeTo when a catalog is present) and
     reads back via read_table.  The oracle is the cells dictionary itself
-    — the round trip must be row-exact through the partitioned layout."""
+    — the round trip must be row-exact through the partitioned layout.
+
+    The sink root is a FIXED per-process dir (write_table overwrites), not
+    a fresh mkdtemp per call — min-of-N bench loops would otherwise leak a
+    full parquet copy per invocation; atexit reclaims the one dir."""
+    import atexit
+    import os as _os
+    import shutil
     import tempfile
 
     from libosmtools_spark.run.catalog import read_table, write_table
 
     cells = _doc_cells_dict(spark, sf_dir).select("cell_key", "cell_id")
-    root = tempfile.mkdtemp(prefix="losmtools_rt_")
+    root = _os.path.join(tempfile.gettempdir(), f"losmtools_rt_{_os.getpid()}")
+    if not getattr(q_cells_roundtrip, "_cleanup_registered", False):
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        q_cells_roundtrip._cleanup_registered = True
     write_table(cells, "cells_rt", root)
     return read_table(spark, "cells_rt", root).select("cell_key", "cell_id")
 

@@ -123,13 +123,24 @@ def membw_multi(nproc: int, seconds: float = 2.0) -> float:
     limit was the host, not the engine."""
     import multiprocessing as mp
 
+    import queue as _queue
+
     q = mp.Queue()
     ps = [mp.Process(target=_bw_worker, args=(seconds, q)) for _ in range(nproc)]
     for p in ps:
         p.start()
     for p in ps:
         p.join()
-    return round(sum(q.get() for _ in ps), 1)
+    # a worker can die before its put (e.g. MemoryError under contention)
+    # and join() still returns — drain with a timeout instead of blocking
+    # the whole bench on a result that will never arrive
+    total = 0.0
+    for _ in ps:
+        try:
+            total += q.get(timeout=5.0)
+        except _queue.Empty:
+            break
+    return round(total, 1)
 
 
 class Timed:
@@ -628,7 +639,7 @@ def main() -> None:
     result = {
         "metric": "spatial_join_tile_assign_pages_per_sec",
         "value": round(n_pages / flagship.wall, 1),
-        "unit": "sec",
+        "unit": "pages_per_sec",
         "queries": queries,
         "queries_cpu_sec": qcpu,
         "noise_floor": {

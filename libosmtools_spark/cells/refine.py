@@ -313,20 +313,25 @@ def refine_oversized(
         hot_df = F.broadcast(spark.createDataFrame(hot_rows, schema="L int, k long"))
         return _resolve_with_join(points, hot_df, probe_levels, depth_cap, lat, lon, key_col)
 
-    # fully distributed resolution: the hot side stays a lazy plan —
-    # broadcast when small (Catalyst/AQE decide), shuffled otherwise;
-    # nothing driver-side grows with the hot-cell count
-    return _resolve_with_join(points, hot, probe_levels, depth_cap, lat, lon, key_col)
+    # fully distributed resolution: hot=None tells _resolve_with_join to
+    # re-derive the hot agg from ITS OWN pinned checkpoint (not this lazy
+    # plan over the uncached input) so both join legs read one evaluation
+    # even under nondeterministic upstream lineage; broadcast vs shuffle is
+    # Catalyst/AQE's call, nothing driver-side grows with the hot count
+    return _resolve_with_join(
+        points, None, probe_levels, depth_cap, lat, lon, key_col, max_points=max_points
+    )
 
 
 def _resolve_with_join(
     points: DataFrame,
-    hot: DataFrame,
+    hot: DataFrame | None,
     probe_levels: list,
     depth_cap: int,
     lat: str,
     lon: str,
     key_col: str,
+    max_points: int | None = None,
 ) -> DataFrame:
     """Anti-join resolution shared by the broadcast middle band and the
     fully distributed band: explode each row into its (level, key)
@@ -338,10 +343,13 @@ def _resolve_with_join(
     monotonically_increasing_id is nondeterministic on re-evaluation (task
     retries, nondeterministic upstream lineage such as sample/limit), and
     the two join legs below would otherwise read two independent
-    evaluations of the same uncached plan and silently mis-join.  The
-    checkpointed id'd input is released once the (also checkpointed)
-    result is materialized — the returned DataFrame owns one persisted
-    block set; long-lived sessions release it via
+    evaluations of the same uncached plan and silently mis-join.  In the
+    fully distributed band (``hot is None``) the hot agg is likewise
+    derived from the SAME pinned checkpoint (``max_points`` required), so
+    split decisions always agree with the pinned rows — not just the row
+    linkage.  The checkpointed id'd input is released once the (also
+    checkpointed) result is materialized — the returned DataFrame owns one
+    persisted block set; long-lived sessions release it via
     ``session.release_local_checkpoint``."""
     from libosmtools_spark.session import release_local_checkpoint
 
@@ -349,6 +357,23 @@ def _resolve_with_join(
     pts_id = points.select(F.struct(*points.columns).alias("_row"), rid).localCheckpoint(
         eager=True
     )
+    if hot is None:
+        assert max_points is not None
+        lv_struct = F.array(*[
+            F.struct(
+                F.lit(L).alias("L"),
+                cell_key_col(F.col("_row." + lat), F.col("_row." + lon), L).alias("k"),
+            )
+            for L in probe_levels
+        ])
+        hot = (
+            pts_id.select(F.explode(lv_struct).alias("s"))
+            .select(F.col("s.L").alias("L"), F.col("s.k").alias("k"))
+            .groupBy("L", "k")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_points)
+            .select("L", "k")
+        )
     final_struct = F.struct(
         F.lit(depth_cap).alias("L"),
         cell_key_col(F.col("_row." + lat), F.col("_row." + lon), depth_cap).alias("k"),

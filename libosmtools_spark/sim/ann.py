@@ -534,9 +534,17 @@ def ivf_train_centroids(
         return np.zeros((0, 0), dtype=np.float64)
     take = embeddings.select(id_col, vec_col)
     if n > sample_rows:
-        # deterministic hash sample at ~sample_rows expected size
+        # deterministic hash sample at ~sample_rows expected size, with a
+        # HARD driver bound: the hash filter's size is only expected-value,
+        # so a sorted limit(2*sample_rows) makes the collect bound
+        # unconditional while staying deterministic (ties impossible: ids
+        # are unique, the orderBy is total)
         m = max(1, n // sample_rows)
-        take = take.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+        take = (
+            take.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+            .orderBy(id_col)
+            .limit(2 * sample_rows)
+        )
     pdf = take.orderBy(id_col).toPandas()
     X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(X, axis=1)

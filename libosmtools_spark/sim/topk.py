@@ -35,6 +35,13 @@ def topk_rows(vals: np.ndarray, k: int) -> np.ndarray:
         return np.empty((m, 0), dtype=np.int64)
     if kk == n:
         return np.argsort(vals, axis=1, kind="stable").astype(np.int64)
+    if np.isnan(vals).any():
+        # NaN breaks the selection invariant (NaN fails `vals <= kth`, so a
+        # row can gather fewer than kk real candidates and surface pad slots
+        # as fake index 0; a NaN kth collapses the mask entirely).  Degrade
+        # to the full stable argsort, which ranks NaN last — the exact
+        # behavior of the pre-selection code path for degenerate inputs.
+        return np.argsort(vals, axis=1, kind="stable")[:, :kk].astype(np.int64)
     # k-th smallest value per row (linear-time selection); every candidate
     # with value <= kth is gathered, so boundary ties are never lost
     kth = np.partition(vals, kk - 1, axis=1)[:, kk - 1]

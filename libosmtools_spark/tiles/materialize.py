@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 from libosmtools_spark.geom import kernels as K
 from libosmtools_spark.geom.columns import cell_bounds_cols, cell_center_cols
 from libosmtools_spark.index.grid import build_cell_index
+from libosmtools_spark.session import release_local_checkpoint
 
 
 def vector_to_raster(region_rings: DataFrame, level: int) -> DataFrame:
@@ -140,10 +141,10 @@ def cell_hop_distances(
     assert algo in ("auto", "loop")
     edges = dual_edges.select("cell_id_a", "cell_id_b")
     if algo == "auto":
-        if edges.count() <= LOCAL_BFS_MAX_EDGES:
-            import pandas as pd
-
-            pdf = edges.toPandas()
+        # ONE job both gates and fetches: limit(N+1).toPandas() returns all
+        # M rows when M <= N, and an overflow (N+1 rows) routes to 'loop'
+        pdf = edges.limit(LOCAL_BFS_MAX_EDGES + 1).toPandas()
+        if len(pdf) <= LOCAL_BFS_MAX_EDGES:
             a = pdf["cell_id_a"].to_numpy(dtype=np.int64)
             b = pdf["cell_id_b"].to_numpy(dtype=np.int64)
             # undirected: both directions, nodes remapped to 0..m-1
@@ -193,9 +194,19 @@ def cell_hop_distances(
             .localCheckpoint()
         )
         if nxt.isEmpty():
+            release_local_checkpoint(nxt)
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
+        new_visited = visited.unionByName(nxt).localCheckpoint()
+        # both superseded checkpoints' blocks are dead once the union
+        # materializes (eager) — release them instead of accumulating
+        # O(diameter) persisted block sets over the sweep
+        release_local_checkpoint(visited)
+        if frontier is not visited:
+            release_local_checkpoint(frontier)
+        visited, frontier = new_visited, nxt
+    if frontier is not visited:
+        release_local_checkpoint(frontier)
+    release_local_checkpoint(both)
     return visited
 
 

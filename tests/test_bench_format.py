@@ -18,7 +18,7 @@ def representative_result(n_queries=None, pairs=6):
     return {
         "metric": "spatial_join_tile_assign_pages_per_sec",
         "value": 123456.7,
-        "unit": "sec",
+        "unit": "pages_per_sec",
         "queries": {n: 12.345 for n in names},
         "queries_cpu_sec": {n: 123.456 for n in names},
         "noise_floor": {

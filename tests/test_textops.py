@@ -258,6 +258,39 @@ class TestANN:
         assert r_trained >= r_seed, (r_trained, r_seed)
         assert r_trained >= 0.9, r_trained  # probes cover the true cluster
 
+    def test_ivf_training_collect_hard_bounded(self, spark):
+        """The trainer's driver collect is unconditionally bounded: even
+        when the hash sample over-delivers (expected-size only), at most
+        2*sample_rows vectors reach the driver — and the sorted limit keeps
+        training deterministic."""
+        from libosmtools_spark.sim.ann import ivf_train_centroids
+
+        rng = np.random.default_rng(9)
+        X = rng.normal(size=(300, 8))
+        rows = [(int(i), v.tolist()) for i, v in enumerate(X)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        import libosmtools_spark.sim.ann as ann_mod
+
+        seen = {}
+        orig = ann_mod.np.stack
+
+        def spy(arrs, *a, **kw):
+            out = orig(arrs, *a, **kw)
+            seen.setdefault("n", len(out))
+            return out
+
+        ann_mod.np.stack = spy
+        try:
+            # sample_rows=20 over 300 rows: hash keeps ~1/15 in expectation
+            # but the limit(2*20) bound must hold regardless
+            c1 = ivf_train_centroids(emb, n_lists=4, sample_rows=20)
+            seen.clear()
+            c2 = ivf_train_centroids(emb, n_lists=4, sample_rows=20)
+        finally:
+            ann_mod.np.stack = orig
+        assert seen["n"] <= 40, seen
+        np.testing.assert_array_equal(c1, c2)
+
     def test_ivf_trained_sampling_deterministic(self, spark):
         """The hash-sampled training path (corpus > sample_rows) is
         deterministic and produces valid unit-norm centroids."""

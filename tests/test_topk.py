@@ -60,3 +60,17 @@ def test_negated_for_descending():
     S = np.array([[0.5, 0.9, 0.9, 0.1], [0.9, 0.9, 0.9, 0.9]])
     top = topk_rows(-S, 3)
     np.testing.assert_array_equal(top, [[1, 2, 0], [0, 1, 2]])
+
+
+def test_nan_degrades_like_argsort():
+    """NaN scores (e.g. NaN embedding components the zero-norm guard can't
+    catch) must not surface pad slots as fake index 0 — the selection path
+    degrades to the full stable argsort, which ranks NaN last."""
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=(6, 9))
+    vals[0, 2] = np.nan            # one NaN candidate
+    vals[1, :] = np.nan            # an all-NaN row
+    vals[2, 4:] = np.nan           # NaN kth value for small k
+    vals[3, 0] = np.inf            # +inf sentinel alongside NaN rows
+    for k in (1, 3, 5, 9):
+        np.testing.assert_array_equal(topk_rows(vals, k), reference(vals, k))
