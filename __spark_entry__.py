@@ -1116,6 +1116,68 @@ def q_flagship_page_cells(spark, sf_dir):
     return out.select("url", "cell_key", "cell_id")
 
 
+#: refine_fixpoint parameters: subdivide from a coarse base until no cell
+#: holds more than REFINE_MAX_COUNT points (or REFINE_MAX_LEVEL is hit).
+#: Chosen against the fixture's occupancy profile (L3 max 15, L4 max 8,
+#: L5 max 4, L6 max 2) so the loop runs ~3 rounds with mixed split/keep
+#: outcomes at every level — a real fixpoint, not a single-round split.
+REFINE_BASE_LEVEL = 3
+REFINE_MAX_LEVEL = 6
+REFINE_MAX_COUNT = 3
+
+
+def q_refine_fixpoint(spark, sf_dir):
+    """T16/T17/T18 — the mesh-refinement fixpoint loop
+    (cells.criteria.refine_until_good with the count criterion,
+    /root/reference/include/osmtools/OsmTriangulationRegionStore.h:481-536
+    round loop + /root/reference/src/CellCriteria.cpp:24-26 count bound):
+    start from the occupied cells at a coarse base level and replace every
+    cell holding more than REFINE_MAX_COUNT points by its 2×2 children
+    until fixpoint.  Occupancy is refreshed each round from ONE precomputed
+    per-level count table (broadcast — it is dimension-scale: at most
+    n_levels × occupied-cells rows, derived from a single pass over the
+    points; at 100 TB the broadcast hint drops and AQE picks the join
+    side).  Output: every surviving cell with its point count — empty
+    children of split cells included at n_points = 0."""
+    from libosmtools_spark.cells.criteria import count_criterion, refine_until_good
+    from libosmtools_spark.geom.columns import cell_key_col
+
+    pts = _points(spark, sf_dir)
+    per_level = [
+        pts.groupBy(
+            cell_key_col(F.col("lat"), F.col("lon"), L).alias("cell_key")
+        ).agg(F.count("*").alias("_n"))
+        for L in range(REFINE_BASE_LEVEL, REFINE_MAX_LEVEL + 1)
+    ]
+    counts = per_level[0]
+    for c in per_level[1:]:
+        counts = counts.unionByName(c)
+    counts = F.broadcast(counts)
+
+    def refresh(df: DataFrame) -> DataFrame:
+        return (
+            df.select("cell_key")
+            .join(counts, "cell_key", "left")
+            .select(
+                "cell_key",
+                F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_points"),
+            )
+        )
+
+    base = refresh(
+        pts.select(
+            cell_key_col(F.col("lat"), F.col("lon"), REFINE_BASE_LEVEL).alias("cell_key")
+        ).distinct()
+    )
+    out = refine_until_good(
+        base,
+        count_criterion(REFINE_MAX_COUNT),
+        max_level=REFINE_MAX_LEVEL,
+        refresh=refresh,
+    )
+    return out.select("cell_key", "n_points")
+
+
 def _wrap(fn):
     def run(spark, sf_dir):
         _ensure_shipped(spark)
@@ -1154,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hop_distances": q_hop_distances,
         "cell_graph_diameter": q_cell_graph_diameter,
         "split_criteria": q_split_criteria,
+        "refine_fixpoint": q_refine_fixpoint,
         "cells_roundtrip": q_cells_roundtrip,
         # text / dedup / similarity / multimodal
         "token_count": q_token_count,
@@ -1226,6 +1289,53 @@ _WINNOW_SQL = r"""
         )
         SELECT DISTINCT doc_id, fp FROM win WHERE pos <= n_sh - 4
     """
+
+def _refine_fixpoint_sql() -> str:
+    """The T16 fixpoint, unrolled level-by-level (the level span is a
+    compile-time constant, so the 'recursion' is a fixed CTE chain — no
+    recursive aggregation needed): live cells at level L with n >
+    REFINE_MAX_COUNT emit their 4 children, children look up their own
+    level-(L+1) occupancy (LEFT JOIN, absent → 0), cells at or under the
+    bound (or at REFINE_MAX_LEVEL) survive."""
+    from libosmtools_spark.geom.columns import cell_key_sql
+
+    n = REFINE_MAX_COUNT
+    parts = [f"pts AS ({POINTS_CTE})"]
+    for L in range(REFINE_BASE_LEVEL, REFINE_MAX_LEVEL + 1):
+        k = cell_key_sql("lat", "lon", L)
+        parts.append(
+            f"cnt{L} AS (SELECT {k} AS cell_key, count(*) AS n FROM pts GROUP BY 1)"
+        )
+    # live cells at the base level = every occupied base cell
+    parts.append(f"c{REFINE_BASE_LEVEL} AS (SELECT cell_key, n FROM cnt{REFINE_BASE_LEVEL})")
+    for L in range(REFINE_BASE_LEVEL + 1, REFINE_MAX_LEVEL + 1):
+        p = L - 1
+        child_key = (
+            f"(CAST({L} AS BIGINT) * 36028797018963968"
+            f" + (((c.cell_key >> 28) & 134217727) * 2 + dy.v) * 268435456"
+            f" + ((c.cell_key & 268435455) * 2 + dx.v))"
+        )
+        parts.append(
+            f"ch{L} AS (SELECT {child_key} AS cell_key"
+            f" FROM c{p} c, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) dy(v),"
+            f" (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) dx(v)"
+            f" WHERE c.n > {n})"
+        )
+        parts.append(
+            f"c{L} AS (SELECT ch.cell_key, CAST(coalesce(k.n, 0) AS BIGINT) AS n"
+            f" FROM ch{L} ch LEFT JOIN cnt{L} k USING (cell_key))"
+        )
+    keeps = [
+        f"SELECT cell_key, n FROM c{L} WHERE n <= {n}"
+        for L in range(REFINE_BASE_LEVEL, REFINE_MAX_LEVEL)
+    ]
+    keeps.append(f"SELECT cell_key, n FROM c{REFINE_MAX_LEVEL}")
+    body = "\nUNION ALL\n".join(keeps)
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT cell_key, n AS n_points FROM ({body})"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     preds = _PRED
@@ -1415,6 +1525,8 @@ def oracle_sql() -> dict[str, str]:
                    max(m) AS diameter
             FROM mins
         """,
+        # T16/T17/T18: level-unrolled fixpoint subdivision
+        "refine_fixpoint": _refine_fixpoint_sql(),
         # T19: the count criterion is a pure occupancy predicate
         "split_criteria": f"""
             SELECT {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key,

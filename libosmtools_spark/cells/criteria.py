@@ -149,11 +149,22 @@ def refine_until_good(
     is_bad,
     max_level: int = MAX_LEVEL,
     max_rounds: int = 32,
+    refresh=None,
 ) -> DataFrame:
     """cells(cell_key, …) → subdivided cells table: every bad cell replaced
     by its 2×2 children, iterated to fixpoint (T16's loop with the quadtree
     analog of T17's refine points).  Rounds bounded; the reference cap is
-    MAX_REFINE_ROUNDS but 32 quadtree rounds already exceed MAX_LEVEL."""
+    MAX_REFINE_ROUNDS but 32 quadtree rounds already exceed MAX_LEVEL.
+
+    ``refresh`` (optional): callable DataFrame → DataFrame applied after
+    every split round.  Criteria over derived per-cell quantities (e.g.
+    ``count_criterion``'s occupancy) need it — a split child INHERITS the
+    parent's columns, so without a refresh the child would be judged on
+    the parent's count and the loop would split all the way to
+    ``max_level``.  The canonical refresh re-joins occupancy from a
+    precomputed per-level count table (see ``__spark_entry__.
+    q_refine_fixpoint``); key-only criteria (diag/edge/centroid) need
+    none."""
     from libosmtools_spark.geom.columns import cell_key_col
 
     df = cells
@@ -181,5 +192,8 @@ def refine_until_good(
             )
             .drop("_dy", "_dx")
         )
-        df = good.unionByName(children).localCheckpoint()
+        df = good.unionByName(children)
+        if refresh is not None:
+            df = refresh(df)
+        df = df.localCheckpoint()
     return df

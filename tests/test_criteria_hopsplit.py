@@ -102,6 +102,34 @@ class TestCriteria:
 
         assert cell_diag_m(out["cell_key"].to_numpy()).max() <= 200_000.0
 
+    def test_refine_fixpoint_count_refresh(self, spark):
+        """refine_until_good with the count criterion + occupancy refresh
+        (the T16 loop the driver oracles as ``refine_fixpoint``): the
+        result is a fixpoint (no cell over the bound below max_level), a
+        partition of the input points (counts sum exactly), and children
+        only exist where an ancestor was over the bound."""
+        import __spark_entry__ as entry
+
+        out = entry.q_refine_fixpoint(spark, "/root/testdata/sf0.001").toPandas()
+        levels = out["cell_key"].to_numpy() >> _LEVEL_SHIFT
+        n = out["n_points"].to_numpy()
+        # fixpoint: below max level nothing is over the bound
+        assert (n[levels < entry.REFINE_MAX_LEVEL] <= entry.REFINE_MAX_COUNT).all()
+        # partition: every point counted exactly once across surviving cells
+        n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+        assert int(n.sum()) == n_docs
+        # keys unique; refined levels only appear via split ancestors
+        assert out["cell_key"].is_unique
+        assert levels.min() == entry.REFINE_BASE_LEVEL
+        mask = levels > entry.REFINE_BASE_LEVEL
+        keys = out["cell_key"].to_numpy()[mask]
+        lv = levels[mask]
+        iy = (keys >> 28) & ((1 << 27) - 1)
+        ix = keys & ((1 << 28) - 1)
+        pkeys = ((lv - 1) << _LEVEL_SHIFT) + (iy // 2 << 28) + ix // 2
+        # no surviving cell's parent also survives (parents were replaced)
+        assert not set(pkeys.tolist()) & set(out["cell_key"].tolist())
+
     def test_count_criterion_column(self, spark):
         from libosmtools_spark.cells.criteria import count_criterion
 
