@@ -1042,6 +1042,23 @@ def q_cell_graph_diameter(spark, sf_dir):
     return cell_graph_diameter(cell_dual_graph(cells.select("cell_key", "cell_id")))
 
 
+def q_cell_graph_diameter_loop(spark, sf_dir):
+    """T7, forced-distributed physical path (the knn_ring pattern): the
+    double-sweep fallback that replaces the old ValueError past
+    LOCAL_BFS_MAX_EDGES — deterministic hash-ordered seeds, two distributed
+    BFS sweeps each (tiles.materialize.cell_graph_diameter(algo='loop');
+    reference posture: approximate beyond the cutoff, never fail,
+    /root/reference/src/OsmTriangulationRegionStore.cpp:100-132).  Same
+    all-pairs recursive-CTE oracle as the local path — the sweep answer
+    must equal the exact diameter on this fixture."""
+    from libosmtools_spark.tiles.materialize import cell_dual_graph, cell_graph_diameter
+
+    cells = _doc_cells_dict(spark, sf_dir)
+    return cell_graph_diameter(
+        cell_dual_graph(cells.select("cell_key", "cell_id")), algo="loop", sweeps=2
+    )
+
+
 def q_split_criteria(spark, sf_dir):
     """T19 — cell-split decision under CellTriangleCountCriteria
     (cells/criteria.count_criterion; /root/reference/src/CellCriteria.cpp:24-26):
@@ -1215,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_sort": q_region_sort,
         "hop_distances": q_hop_distances,
         "cell_graph_diameter": q_cell_graph_diameter,
+        "cell_graph_diameter_loop": q_cell_graph_diameter_loop,
         "split_criteria": q_split_criteria,
         "refine_fixpoint": q_refine_fixpoint,
         "cells_roundtrip": q_cells_roundtrip,
@@ -1760,4 +1778,6 @@ def oracle_sql() -> dict[str, str]:
     # their broadcast counterparts — that equality IS the check
     out["knn_ring"] = out["knn"]
     out["ann_cosine_blocked"] = out["ann_cosine"]
+    # forced-distributed double-sweep vs the same exact all-pairs oracle
+    out["cell_graph_diameter_loop"] = out["cell_graph_diameter"]
     return out

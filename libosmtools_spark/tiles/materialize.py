@@ -210,7 +210,12 @@ def cell_hop_distances(
     return visited
 
 
-def cell_graph_diameter(dual_edges: DataFrame, exact_cutoff: int | None = None) -> DataFrame:
+def cell_graph_diameter(
+    dual_edges: DataFrame,
+    exact_cutoff: int | None = None,
+    algo: str = "auto",
+    sweeps: int | None = None,
+) -> DataFrame:
     """T7 — max-hop diameter of the cell dual graph with the reference's
     exact/approx size switch
     (/root/reference/include/osmtools/OsmTriangulationRegionStore.h:513 —
@@ -218,27 +223,79 @@ def cell_graph_diameter(dual_edges: DataFrame, exact_cutoff: int | None = None) 
     under the cutoff, randomized double-sweep beyond (cells/hopsplit.
     max_hop_pair — the same kernel the T6 splitter uses per cell).
 
-    Driver-local by the dimension-scale contract (the dual graph derives
-    from the broadcastable cells dictionary; guarded by
-    LOCAL_BFS_MAX_EDGES).  Returns one row (n_nodes, n_edges, diameter) —
-    diameter is the max eccentricity over all components (nodes = edge
-    endpoints; isolated ids have no hops to measure)."""
-    from libosmtools_spark.cells.hopsplit import EXACT_DIAMETER_PRACTICAL, max_hop_pair
+    ``algo`` (the cell_hop_distances dispatch pattern):
+    - 'auto': dimension-scale edge sets (≤ LOCAL_BFS_MAX_EDGES, gated and
+      fetched by ONE limit(N+1) job) run driver-local numpy; larger graphs
+      fall through to 'loop' — the reference's own posture is "approximate
+      beyond the cutoff, never fail"
+      (/root/reference/src/OsmTriangulationRegionStore.cpp:100-132).
+    - 'loop': fully distributed double-sweep — ``sweeps`` deterministic
+      seeds (hash-ordered node picks, the Spark-determinism analog of the
+      reference's rng), each seed runs two cell_hop_distances(algo='loop')
+      BFS sweeps (id-only shuffles, O(diameter) rounds); the result is the
+      max second-sweep eccentricity.  Exact on trees and a lower bound in
+      general, like the reference's approximation; on grid-shaped dual
+      graphs the sweep lands on the periphery and matches the exact answer
+      (driver-oracled on the fixture).
 
+    Returns one row (n_nodes, n_edges, diameter) — diameter is the max
+    eccentricity over all components (nodes = edge endpoints; isolated ids
+    have no hops to measure)."""
+    from libosmtools_spark.cells.hopsplit import (
+        APPROX_DIAMETER_RUNS,
+        EXACT_DIAMETER_PRACTICAL,
+        max_hop_pair,
+    )
+
+    assert algo in ("auto", "loop")
     if exact_cutoff is None:
         exact_cutoff = EXACT_DIAMETER_PRACTICAL
-    n_edges_df = dual_edges.count()
-    if n_edges_df > LOCAL_BFS_MAX_EDGES:
-        raise ValueError(
-            f"cell_graph_diameter: {n_edges_df} edges exceed the dimension-scale "
-            f"bound ({LOCAL_BFS_MAX_EDGES}); the dual graph should derive from a "
-            "broadcastable cells dictionary"
+    spark = dual_edges.sparkSession
+    edges = dual_edges.select("cell_id_a", "cell_id_b")
+    if algo == "auto":
+        # ONE job both gates and fetches (the cell_hop_distances pattern)
+        pdf = edges.limit(LOCAL_BFS_MAX_EDGES + 1).toPandas()
+        if len(pdf) > LOCAL_BFS_MAX_EDGES:
+            algo = "loop"
+    if algo == "loop":
+        if sweeps is None:
+            sweeps = APPROX_DIAMETER_RUNS
+        nodes = (
+            edges.select(F.col("cell_id_a").alias("cell_id"))
+            .unionByName(edges.select(F.col("cell_id_b").alias("cell_id")))
+            .distinct()
+            .localCheckpoint()
         )
-    pdf = dual_edges.select("cell_id_a", "cell_id_b").toPandas()
+        n_nodes = nodes.count()
+        n_edges = edges.count()
+        if n_nodes == 0:
+            release_local_checkpoint(nodes)
+            return spark.createDataFrame(
+                [(0, 0, 0)], "n_nodes long, n_edges long, diameter long"
+            )
+        # deterministic pseudo-random seeds: hash order over node ids —
+        # a bounded driver collect (``sweeps`` rows, never grows with n)
+        seed_rows = (
+            nodes.orderBy(F.xxhash64("cell_id"), F.col("cell_id")).limit(sweeps).collect()
+        )
+        release_local_checkpoint(nodes)
+        diam = 0
+        for row in seed_rows:
+            d1 = cell_hop_distances(edges, int(row.cell_id), algo="loop")
+            far = d1.orderBy(F.desc("hop"), F.asc("cell_id")).limit(1).collect()[0]
+            release_local_checkpoint(d1)
+            d2 = cell_hop_distances(edges, int(far.cell_id), algo="loop")
+            ecc = d2.agg(F.max("hop").alias("m")).collect()[0].m
+            release_local_checkpoint(d2)
+            # both sweeps' eccentricities are valid lower bounds
+            diam = max(diam, int(far.hop), int(ecc))
+        return spark.createDataFrame(
+            [(int(n_nodes), int(n_edges), int(diam))],
+            "n_nodes long, n_edges long, diameter long",
+        )
     a = pdf["cell_id_a"].to_numpy(dtype=np.int64)
     b = pdf["cell_id_b"].to_numpy(dtype=np.int64)
     nodes = np.unique(np.concatenate([a, b]))
-    spark = dual_edges.sparkSession
     if len(nodes) == 0:
         return spark.createDataFrame(
             [(0, 0, 0)], "n_nodes long, n_edges long, diameter long"

@@ -428,3 +428,37 @@ class TestCellGraphDiameter:
         edges = spark.createDataFrame([], "cell_id_a long, cell_id_b long")
         row = cell_graph_diameter(edges).collect()[0]
         assert (row["n_nodes"], row["n_edges"], row["diameter"]) == (0, 0, 0)
+
+    def test_distributed_double_sweep_matches_local(self, spark):
+        """The 'loop' path (forced) equals the exact local answer on a path
+        graph and a disconnected graph — one sweep suffices because the
+        double sweep is exact on trees."""
+        from libosmtools_spark.tiles.materialize import cell_graph_diameter
+
+        for rows, want in (
+            ([(i, i + 1) for i in range(1, 10)], (10, 9, 9)),
+            ([(1, 2), (2, 3), (3, 4), (10, 11)], (6, 4, 3)),
+        ):
+            edges = spark.createDataFrame(rows, "cell_id_a long, cell_id_b long")
+            row = cell_graph_diameter(edges, algo="loop", sweeps=1).collect()[0]
+            assert (row["n_nodes"], row["n_edges"], row["diameter"]) == want
+
+    def test_auto_falls_through_to_loop_past_bound(self, spark, monkeypatch):
+        """Past LOCAL_BFS_MAX_EDGES the old code raised ValueError; auto now
+        degrades to the distributed double-sweep (the reference's
+        approximate-beyond-cutoff posture) and still answers."""
+        from libosmtools_spark.tiles import materialize as M
+
+        monkeypatch.setattr(M, "LOCAL_BFS_MAX_EDGES", 3)
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 10)], "cell_id_a long, cell_id_b long"
+        )
+        row = M.cell_graph_diameter(edges, sweeps=1).collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["diameter"]) == (10, 9, 9)
+
+    def test_loop_empty(self, spark):
+        from libosmtools_spark.tiles.materialize import cell_graph_diameter
+
+        edges = spark.createDataFrame([], "cell_id_a long, cell_id_b long")
+        row = cell_graph_diameter(edges, algo="loop").collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["diameter"]) == (0, 0, 0)
