@@ -1133,6 +1133,32 @@ def q_flagship_page_cells(spark, sf_dir):
     return out.select("url", "cell_key", "cell_id")
 
 
+#: diag split threshold (m): midpoint of the widest gap in the fixture's
+#: 31 distinct level-6 cell diagonals (367,117.1 → 373,474.9) — every
+#: cell's diagonal clears the threshold by ≥3.1 km, so Spark and DuckDB
+#: agree on the comparison even though their trig differs in the last ulp
+#: (the cross-engine caveat that kept the diag criterion pytest-only in r5)
+DIAG_SPLIT_M = 370_296.0
+
+
+def q_split_criteria_diag(spark, sf_dir):
+    """T19, second half — CellDiagonalCriteria
+    (cells/criteria.diag_criterion; /root/reference/src/CellCriteria.cpp:32-97:
+    split when the cell bbox geodesic diagonal exceeds the bound): per
+    occupied cell, its occupancy and the diagonal split decision.  The
+    diagonal itself (an asin/sqrt chain) is deliberately NOT in the output
+    — only the wide-margin comparison is cross-engine stable."""
+    from libosmtools_spark.cells.criteria import diag_criterion
+    from libosmtools_spark.joins.spatial import with_cell_key
+
+    pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
+    counts = pts.groupBy("cell_key").agg(F.count("*").alias("n_points"))
+    crit = diag_criterion(DIAG_SPLIT_M)
+    return counts.select(
+        "cell_key", "n_points", crit(counts).cast("int").alias("needs_split")
+    )
+
+
 #: refine_fixpoint parameters: subdivide from a coarse base until no cell
 #: holds more than REFINE_MAX_COUNT points (or REFINE_MAX_LEVEL is hit).
 #: Chosen against the fixture's occupancy profile (L3 max 15, L4 max 8,
@@ -1195,6 +1221,24 @@ def q_refine_fixpoint(spark, sf_dir):
     return out.select("cell_key", "n_points")
 
 
+def q_selftest_invariants(spark, sf_dir):
+    """T21 — the selfTest invariant suite as a violations query
+    (run.selftest.selftest_violations;
+    /root/reference/src/OsmTriangulationRegionStore.cpp:1227-1281): every
+    structural invariant of the cells dictionary plus the distributed
+    point↔dictionary consistency join, one row per check.  A healthy store
+    yields all-zero counts — the oracle is that constant, so any future
+    regression in the dictionary builder turns this row red."""
+    from libosmtools_spark.cells.assign import assign_point_cell_ids
+    from libosmtools_spark.joins.spatial import with_cell_key
+    from libosmtools_spark.run.selftest import selftest_violations
+
+    cells = _doc_cells_dict(spark, sf_dir)
+    pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
+    pc = assign_point_cell_ids(pts, cells)
+    return selftest_violations(cells, pc.select("cell_key", "cell_id"))
+
+
 def _wrap(fn):
     def run(spark, sf_dir):
         _ensure_shipped(spark)
@@ -1234,7 +1278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_graph_diameter": q_cell_graph_diameter,
         "cell_graph_diameter_loop": q_cell_graph_diameter_loop,
         "split_criteria": q_split_criteria,
+        "split_criteria_diag": q_split_criteria_diag,
         "refine_fixpoint": q_refine_fixpoint,
+        "selftest_invariants": q_selftest_invariants,
         "cells_roundtrip": q_cells_roundtrip,
         # text / dedup / similarity / multimodal
         "token_count": q_token_count,
@@ -1543,8 +1589,47 @@ def oracle_sql() -> dict[str, str]:
                    max(m) AS diameter
             FROM mins
         """,
+        # T19 diag half: haversine bbox diagonal vs a wide-margin threshold
+        # (same formula as geom.columns.haversine_m_col; the ≥3.1 km margin
+        # makes last-ulp trig differences irrelevant to the comparison)
+        "split_criteria_diag": f"""
+            WITH cells AS (
+              SELECT {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key, count(*) AS n_points
+              FROM documents GROUP BY 1
+            ),
+            b AS (
+              SELECT cell_key, n_points,
+                     {CK_MIN_LAT} AS la1, {CK_MIN_LON} AS lo1,
+                     ({CK_MIN_LAT} + {CELL}) AS la2, ({CK_MIN_LON} + {CELL}) AS lo2
+              FROM cells
+            ),
+            h AS (
+              SELECT cell_key, n_points,
+                     pow(sin(radians(la2 - la1) / 2), 2)
+                       + cos(radians(la1)) * cos(radians(la2))
+                         * pow(sin(radians(lo2 - lo1) / 2), 2) AS hv
+              FROM b
+            )
+            SELECT cell_key, n_points,
+                   CAST((2.0 * 6371008.8
+                         * asin(sqrt(least(1.0, greatest(0.0, hv)))) > {DIAG_SPLIT_M})
+                        AS INTEGER) AS needs_split
+            FROM h
+        """,
         # T16/T17/T18: level-unrolled fixpoint subdivision
         "refine_fixpoint": _refine_fixpoint_sql(),
+        # T21: a healthy store has zero violations on every check — the
+        # oracle is the constant; a dictionary-builder regression flips it
+        "selftest_invariants": """
+            SELECT * FROM (VALUES
+              ('cell_ids_dense', CAST(0 AS BIGINT)),
+              ('cell_key_unique', CAST(0 AS BIGINT)),
+              ('empty_set_iff_cell0', CAST(0 AS BIGINT)),
+              ('region_ids_sorted_distinct', CAST(0 AS BIGINT)),
+              ('set_id_bijection', CAST(0 AS BIGINT)),
+              ('points_match_dict', CAST(0 AS BIGINT))
+            ) t(check_name, n_violations)
+        """,
         # T19: the count criterion is a pure occupancy predicate
         "split_criteria": f"""
             SELECT {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key,

@@ -132,6 +132,54 @@ class TestInvariants:
         for ids in cells["region_ids"]:
             assert list(ids) == sorted(set(ids))
 
+    def test_selftest_violations_all_zero(self, engine, pages, spark):
+        """The relational T21 suite (run.selftest.selftest_violations, the
+        driver's selftest_invariants query) reports zero violations on a
+        healthy store."""
+        from libosmtools_spark.run.selftest import selftest_violations
+
+        out = selftest_violations(engine.cells(pages)).toPandas()
+        assert set(out["check_name"]) == {
+            "cell_ids_dense", "cell_key_unique", "empty_set_iff_cell0",
+            "region_ids_sorted_distinct", "set_id_bijection",
+        }
+        assert (out["n_violations"] == 0).all()
+
+    def test_selftest_catches_corruption(self, spark):
+        """Non-vacuous: each class of corruption flips its check."""
+        from libosmtools_spark.run.selftest import selftest_violations
+
+        schema = "cell_key long, cell_id long, region_ids array<int>"
+        # gap in ids (3 skipped), duplicate key, cell0 with regions,
+        # unsorted list, one set under two ids
+        bad = spark.createDataFrame(
+            [
+                (1, 1, [5]),
+                (2, 2, [7, 5]),      # unsorted
+                (2, 4, [5]),         # dup key; id 4 shares set [5] with id 1; gap: no 3
+                (3, 0, [9]),         # cell 0 with a region set
+            ],
+            schema,
+        )
+        got = selftest_violations(bad).toPandas().set_index("check_name")["n_violations"]
+        assert got["cell_ids_dense"] == 1
+        assert got["cell_key_unique"] == 1
+        assert got["empty_set_iff_cell0"] == 1
+        assert got["region_ids_sorted_distinct"] == 1
+        assert got["set_id_bijection"] >= 1
+
+    def test_selftest_point_consistency(self, spark):
+        from libosmtools_spark.run.selftest import selftest_violations
+
+        cells = spark.createDataFrame(
+            [(10, 1, [5]), (11, 2, [6])], "cell_key long, cell_id long, region_ids array<int>"
+        )
+        pts = spark.createDataFrame(
+            [(10, 1), (11, 2), (99, 0), (10, 2)], "cell_key long, cell_id long"
+        )  # last row disagrees with the dictionary
+        out = selftest_violations(cells, pts).toPandas().set_index("check_name")
+        assert out.loc["points_match_dict", "n_violations"] == 1
+
 
 class TestFlagshipMapParity:
     def test_map_join_equals_shuffle_flagship(self, engine, pages):
