@@ -276,10 +276,12 @@ BENCH_PICKS = [
 ]
 
 
-def bench_queries(spark, fixtures: str, passes: int = 3):
+def bench_queries(spark, sf_dir: str, passes: int = 3):
     """Per-query min-of-N walls + the best run's CPU-seconds, fully
     interleaved (pass 1 of every query, then pass 2, …) so one noisy
-    window cannot poison a single query's every sample."""
+    window cannot poison a single query's every sample.  ``sf_dir`` is the
+    driver-table directory the queries read — the default record runs it
+    at $SPARK_GRAFT_SF_DIR, the 10× tier at the ensure_x10 replica."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -287,11 +289,146 @@ def bench_queries(spark, fixtures: str, passes: int = 3):
     floors = [calibrate()]
     for _ in range(passes):
         for name in BENCH_PICKS:
-            timers[name].run(lambda n=name: qs[n](spark, SF_DIR).count())
+            timers[name].run(lambda n=name: qs[n](spark, sf_dir).count())
         floors.append(calibrate())
     walls = {n: round(t.wall, 3) for n, t in timers.items()}
     cpus = {n: round(t.cpu, 3) for n, t in timers.items()}
     return walls, cpus, floors
+
+
+X10_FACTOR = int(os.environ.get("SPARK_GRAFT_X10_FACTOR", "10"))
+#: disjoint per-replica id offset — far above any driver-table id range
+X10_STRIDE = 1 << 32
+
+
+def ensure_x10(spark, sf_dir: str, factor: int = X10_FACTOR) -> str:
+    """Materialize a deterministic ``factor``× replica of the three driver
+    tables the per-query record reads (documents, embeddings, events) — the
+    measured SECOND POINT on the scale axis for every benched query, so the
+    "survives 100×" claims rest on two data points, not one.
+
+    Replicas get disjoint id ranges (stride 2^32), so group keys, derived
+    spatial points (doc_id→lat/lon is modular arithmetic), and per-user
+    sessions stay disjoint and every per-key workload scales linearly.
+    Replica content must ALSO be decorrelated across replicas while
+    preserving within-replica similarity structure exactly — a real 10×
+    corpus has 10× dup-clusters of the same SIZE, not 10×-bigger clusters.
+    Naive replication fails this quadratically: a small appended suffix
+    left replicas as genuine near-duplicates and minhash_lsh emitted
+    factor²-scaled candidate pairs (measured: 250,600 pairs / 112 s at
+    factor 10 vs ~2,500 expected).  So:
+    - text: replica k>0 suffixes EVERY token with ``rk`` — a token-level
+      bijection (exact-dup and shingle-overlap structure inside a replica
+      is untouched) with ~zero cross-replica shingle overlap;
+    - embeddings: replica k>0 applies a per-replica signed coordinate
+      rotation (cyclic shift + per-(rep,position) sign flips — an
+      ORTHOGONAL map, so every within-replica distance/cosine is exact,
+      while cross-replica similarities collapse to noise).
+    Built once outside any timer; re-used across passes and rounds
+    (content is deterministic in sf_dir + factor)."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/bench_x10_{os.path.basename(os.path.normpath(sf_dir))}_f{factor}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rep = F.explode(F.array([F.lit(i) for i in range(factor)])).alias("rep")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select("*", rep)
+    docs.select(
+        (F.col("doc_id") + F.col("rep") * F.lit(X10_STRIDE)).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(
+            F.regexp_replace(
+                "text",
+                F.lit(r"(\w+)"),
+                F.concat(F.lit("$1r"), F.col("rep").cast("string")),
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text").cast("long")).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select("*", rep)
+    e, sz = F.col("embedding"), F.size("embedding")
+    # shift in [1, sz-1]: never 0, so replica k>0 is always a proper
+    # rotation (an identical twin would re-create the bucket-collision
+    # blowup this map exists to prevent)
+    shift = F.lit(1) + F.pmod(F.col("rep") * F.lit(13), sz - F.lit(1))
+    rotated = F.concat(F.slice(e, shift + 1, sz - shift), F.slice(e, F.lit(1), shift))
+    signed = F.transform(
+        rotated,
+        lambda x, i: x
+        * F.when(F.pmod(F.xxhash64(F.col("rep"), i), F.lit(2)) == 0, F.lit(1.0)).otherwise(
+            F.lit(-1.0)
+        ),
+    ).cast("array<float>")
+    emb.select(
+        (F.col("vec_id") + F.col("rep") * F.lit(X10_STRIDE)).alias("vec_id"),
+        F.when(F.col("rep") == 0, e).otherwise(signed).alias("embedding"),
+        "label",
+    ).repartition(8).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select("*", rep)
+    ev.select(
+        (F.col("event_id") + F.col("rep") * F.lit(X10_STRIDE)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep") * F.lit(X10_STRIDE)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).repartition(8).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+def x10_section(spark, fixtures: str, base_walls: dict) -> dict:
+    """10× bench tier: the full per-query census over the ensure_x10
+    replica (min-of-2 interleaved) plus the flagship at 10× pages
+    (pre-materialized to parquet — the replication explode is JVM string
+    churn that must not BE the measured workload, same rationale as the
+    scaling section).  ``scale_ratio`` = x10 wall / base wall per query: a
+    query whose ratio is far above ``factor`` has super-linear cost and is
+    flagged by the artifact itself."""
+    x10_dir = ensure_x10(spark, SF_DIR)
+    walls10, cpus10, floors10 = bench_queries(spark, x10_dir, passes=2)
+
+    inflated = f"/tmp/bench_pages_x{X10_FACTOR}.parquet"
+    if not os.path.exists(inflated):
+        load_pages(spark, fixtures, inflate=X10_FACTOR).write.mode("overwrite").parquet(
+            inflated
+        )
+    pages = spark.read.parquet(inflated)
+    eng = build_engine(spark, fixtures)
+    eng.candidates_bcast  # index build outside the timer (distribution cost)
+    fs = Timed()
+    n10 = 0
+    for _ in range(2):
+        n10 = fs.run(lambda: run_flagship_materialized(eng, pages))
+    return {
+        "x10": {
+            "factor": X10_FACTOR,
+            "queries": walls10,
+            "queries_cpu_sec": cpus10,
+            "noise_floor_passes": floors10,
+            "flagship_sec": round(fs.wall, 3),
+            "flagship_cpu_sec": round(fs.cpu, 3),
+            "flagship_n_pages": n10,
+            "scale_ratio": {
+                n: round(walls10[n] / base_walls[n], 2)
+                for n in walls10
+                if base_walls.get(n)
+            },
+        },
+        "x10_pages_per_sec": round(n10 / fs.wall, 1),
+        "x10_agg_sec": round(sum(walls10.values()), 1),
+    }
 
 
 def skew_probe(spark, fixtures: str, max_points: int = 8000) -> dict:
@@ -486,14 +623,26 @@ def scaling_section(fixtures: str) -> dict:
     # every pair ever measured stays in the artifact (nothing is dropped or
     # re-weighted), the estimate just gains samples exactly when the
     # windows were dirty and the estimate is least certain
-    max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "2"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "3"))
     # extras respect a wall budget so the whole bench stays inside any
     # outer harness timeout — the base pairs always run
     budget_s = float(os.environ.get("SPARK_GRAFT_SCALE_EXTRA_BUDGET_S", "2400"))
+
+    def cpu_inflation() -> float:
+        # same estimator as the emitted scaling_cpu_inflation: min
+        # CPU-seconds per config = the least-contended window's per-cycle
+        # cost.  More pairs can only LOWER each config's min, so extending
+        # on a high reading adds evidence, it never drops or re-weights it.
+        return timers[n_hi].min_cpu / max(timers[n_lo].min_cpu, 1e-9)
+
     extra = 0
     while extra < max_extra and time.monotonic() - t_section < budget_s and (
         median_eff() < 0.8
         or min((lo / hi) / speedup for lo, hi in zip(walls[n_lo], walls[n_hi])) < 0.8
+        # the round-5 caveat: a record with median ≥0.8 but min-CPU
+        # inflation >1.3 still reads as "contended window" — keep sampling
+        # until one clean window pins the per-cycle cost
+        or cpu_inflation() > 1.3
     ):
         run_pair()
         extra += 1
@@ -588,6 +737,8 @@ HEADLINE_KEYS = (
     "sf",
     "n_pages",
     "cpus",
+    "x10_pages_per_sec",
+    "x10_agg_sec",
     "scaling_efficiency",
     "scaling_efficiency_median",
     "scaling_efficiency_pairwise",
@@ -630,10 +781,15 @@ def main() -> None:
         flagship_floors.append(calibrate())
 
     queries = {"flagship": round(flagship.wall, 3)}
-    walls, qcpu, qfloors = bench_queries(spark, fixtures)
+    walls, qcpu, qfloors = bench_queries(spark, SF_DIR)
     queries.update(walls)
     qcpu["flagship"] = round(flagship.cpu, 3)
     skew = skew_probe(spark, fixtures)
+    x10 = (
+        x10_section(spark, fixtures, walls)
+        if os.environ.get("SPARK_GRAFT_X10", "1") != "0"
+        else {}
+    )
     spark.stop()
 
     result = {
@@ -652,6 +808,7 @@ def main() -> None:
         "cpus": CPUS,
         "skew": skew,
     }
+    result.update(x10)
 
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         result.update(scaling_section(fixtures))

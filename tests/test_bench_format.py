@@ -30,6 +30,16 @@ def representative_result(n_queries=None, pairs=6):
         "n_pages": 200000,
         "cpus": 32,
         "skew": {"work_ratio": 13.37, "before_sec": 24.9, "after_sec": 7.5},
+        "x10": {
+            "factor": 10,
+            "queries": {n: 123.456 for n in names},
+            "queries_cpu_sec": {n: 1234.567 for n in names},
+            "flagship_sec": 123.456,
+            "flagship_n_pages": 2000000,
+            "scale_ratio": {n: 12.34 for n in names},
+        },
+        "x10_pages_per_sec": 123456.7,
+        "x10_agg_sec": 1234.5,
         "scaling": {"4": {"sec": 128.9}, "16": {"sec": 58.6}},
         "scaling_inflate": 128,
         "scaling_n_pages": 25600000,
@@ -58,6 +68,7 @@ class TestHeadlineLine:
     def test_parseable_with_required_fields(self):
         got = json.loads(bench.headline_line(representative_result()))
         for key in ("metric", "value", "unit", "queries", "sf",
+                    "x10_pages_per_sec", "x10_agg_sec",
                     "scaling_efficiency", "scaling_efficiency_median",
                     "scaling_cpu_inflation", "scaling_pair_bw_floor",
                     "skew_work_ratio"):
@@ -84,3 +95,44 @@ class TestHeadlineLine:
         got = json.loads(line)
         assert got.get("queries_dropped_for_length") is True
         assert got["scaling_efficiency"] == 0.812
+
+
+class TestX10Tier:
+    """ensure_x10 contract: exactly factor× rows, disjoint per-replica id
+    ranges, and NO new cross-replica exact-dup or identical-embedding
+    pairs (which would quadratically distort candidate generation)."""
+
+    def test_shape_ids_and_content(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        sf_dir = "/root/testdata/sf0.001"
+        out = bench.ensure_x10(spark, sf_dir, factor=3)
+        # factor is part of the cache key — a different factor must not
+        # collide with the default-10 replica other runs build
+        assert out.endswith("_f3")
+        for t, key in (("documents", "doc_id"), ("embeddings", "vec_id"),
+                       ("events", "event_id")):
+            base = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            rep = spark.read.parquet(f"{out}/{t}.parquet")
+            assert rep.count() == 3 * base.count(), t
+            assert rep.columns == base.columns, t
+            # ids unique across replicas (disjoint stride ranges)
+            assert rep.select(key).distinct().count() == rep.count(), t
+        docs = spark.read.parquet(f"{out}/documents.parquet")
+        emb = spark.read.parquet(f"{out}/embeddings.parquet")
+        base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # exact-dup structure scales linearly: distinct texts ×3
+        n_txt = base_docs.select("text").distinct().count()
+        assert docs.select("text").distinct().count() == 3 * n_txt
+        # n_chars stays consistent with the perturbed text
+        assert docs.filter(F.length("text") != F.col("n_chars")).count() == 0
+        # embeddings: replica vectors differ from their replica-0 twin
+        base_vec = (
+            emb.filter(F.col("vec_id") < bench.X10_STRIDE)
+            .select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+        )
+        twins = emb.filter(F.col("vec_id") >= bench.X10_STRIDE).join(
+            base_vec,
+            F.pmod(F.col("vec_id"), F.lit(bench.X10_STRIDE)) == F.col("b_id"),
+        )
+        assert twins.filter(F.col("embedding") == F.col("b_vec")).count() == 0
