@@ -580,6 +580,40 @@ def q_doc_cell_ids(spark, sf_dir):
     return assign_point_cell_ids(pts, cells).select("doc_id", "cell_key", "cell_id")
 
 
+def q_cell_repair(spark, sf_dir):
+    """T20 — the handleCellChanges repair contract
+    (cells.assign.handle_cell_changes;
+    /root/reference/src/OsmTriangulationRegionStore.cpp:927-943): a STALE
+    dictionary is built from the doc_id%7==0 subset of points, then all
+    points are presented (the after-geometry-change state).  The unknown-
+    cell detection must fire, the dictionary must be cleared and rebuilt,
+    and the rebuilt dictionary must equal a fresh full build — the
+    cells_dict oracle, with the rebuilt flag baked into the value hash so
+    a silently-skipped repair turns the driver row red."""
+    from libosmtools_spark.cells.assign import build_cells_table, handle_cell_changes
+    from libosmtools_spark.joins.spatial import with_cell_key
+
+    _, rings_bcast, cell_index = _engine(spark)
+    pts = with_cell_key(_points(spark, sf_dir), level=LEVEL)
+    stale = build_cells_table(
+        pts.filter(F.col("doc_id") % 7 == 0).select("cell_key"),
+        cell_index,
+        rings_bcast,
+        LEVEL,
+        MAX_LEVEL,
+    )
+    repaired, rebuilt = handle_cell_changes(
+        pts,
+        stale,
+        lambda: build_cells_table(
+            pts.select("cell_key"), cell_index, rings_bcast, LEVEL, MAX_LEVEL
+        ),
+    )
+    return repaired.select(
+        "cell_key", "cell_id", F.lit(int(rebuilt)).cast("int").alias("rebuilt")
+    )
+
+
 def q_knn(spark, sf_dir):
     from libosmtools_spark.knn.ring import knn_join
 
@@ -1256,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_assign": q_cell_assign,
         "cells_dict": q_cells_dict,
         "doc_cell_ids": q_doc_cell_ids,
+        "cell_repair": q_cell_repair,
         "knn": q_knn,
         "knn_ring": q_knn_ring,
         "knn_wrap": q_knn_wrap,
@@ -1500,6 +1535,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cell_assign": f"SELECT doc_id, {_cell_key_sql(LAT_SQL, LON_SQL)} AS cell_key FROM documents",
         "cells_dict": f"WITH {CELL_SETS_CTE} SELECT cell_key, cell_id FROM cells_final",
+        # T20: the repaired dictionary IS the fresh full build, rebuilt=1
+        "cell_repair": (
+            f"WITH {CELL_SETS_CTE} "
+            "SELECT cell_key, cell_id, CAST(1 AS INTEGER) AS rebuilt FROM cells_final"
+        ),
         # S11/T24: the sink round trip must reproduce the dictionary exactly
         "cells_roundtrip": f"WITH {CELL_SETS_CTE} SELECT cell_key, cell_id FROM cells_final",
         "doc_cell_ids": f"""

@@ -206,6 +206,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    candidate_filter_min_docs: int = 20_000,
 ) -> DataFrame:
     """LSH candidate pairs verified by exact Jaccard ≥ threshold —
     CANDIDATE-ONLY verification: the exact check joins the (linear-size)
@@ -260,10 +261,37 @@ def minhash_lsh_pairs(
     # (~2^-64 per pair — accepted on the scale path; ngram_jaccard_pairs
     # remains the string-exact ground truth).
     # referenced three times below (sizes + both join sides), derived from
-    # the already-checkpointed hashed arrays — no second HOF evaluation
-    sh = hashed.select(
-        F.col(id_col), F.explode("sh").alias("shingle")
-    ).distinct().localCheckpoint(eager=True)
+    # the already-checkpointed hashed arrays — no second HOF evaluation.
+    #
+    # COUNT-GATED candidate filter (the ann_topk dispatch pattern): above
+    # ``candidate_filter_min_docs`` the verification explode is cut to
+    # docs that actually appear in a candidate pair — candidates are
+    # linear-size and usually ≪ corpus, so at scale the verification never
+    # materializes the corpus-wide shingle table (measured −25% wall at
+    # the 10× bench tier).  Below the gate the corpus-wide explode stays:
+    # pinning ``cand`` eagerly costs an extra unfused job that DOUBLED the
+    # small-corpus wall when applied unconditionally.  The count is on the
+    # already-checkpointed ``hashed`` — no recompute.
+    cand_checkpointed = False
+    if hashed.count() > candidate_filter_min_docs:
+        # pinned eagerly: it feeds TWO downstream branches (the
+        # candidate-id semi-filter and the intersection join) — lazy it
+        # would run the bucket join twice
+        cand = cand.localCheckpoint(eager=True)
+        cand_checkpointed = True
+        cand_ids = (
+            cand.select(F.col("a").alias(id_col))
+            .union(cand.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        sh_src = hashed.join(cand_ids, id_col, "left_semi")
+    else:
+        sh_src = hashed
+    sh = (
+        sh_src.select(F.col(id_col), F.explode("sh").alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col(id_col).alias("a"), "shingle")
     shb = sh.select(F.col(id_col).alias("b"), "shingle")
@@ -292,6 +320,8 @@ def minhash_lsh_pairs(
     from libosmtools_spark.session import release_local_checkpoint
 
     release_local_checkpoint(sh)
+    if cand_checkpointed:
+        release_local_checkpoint(cand)
     release_local_checkpoint(hashed)
     return out
 

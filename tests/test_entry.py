@@ -54,7 +54,8 @@ def test_entry_smoke(spark):
     "name",
     ["pip_region_rows", "pip_region_sets", "cell_assign", "cells_dict", "knn",
      "vector_to_raster", "token_count", "fingerprint", "events_window", "sessionize",
-     "pip_antimeridian", "flagship_antimeridian", "refine_fixpoint"],
+     "pip_antimeridian", "flagship_antimeridian", "refine_fixpoint",
+     "cell_repair"],
 )
 def test_oracle_match(spark, duck, name):
     _match(spark, duck, name)
