@@ -988,6 +988,65 @@ def q_events_window(spark, sf_dir):
     )
 
 
+_STREAM_SEQ = [0]
+
+
+def q_events_window_stream(spark, sf_dir):
+    """Structured-Streaming face of events_window — the SAME windowed
+    aggregation (arithmetic 5-minute buckets, pure JVM Columns) run as a
+    REAL streaming query: parquet file source split into three slices
+    (one micro-batch each, so the aggregation state genuinely accumulates
+    across batches), complete-mode memory sink, processAllAvailable.
+    Stream == batch by construction (stateless bucket Columns + full-state
+    complete mode), so the exact batch SQL oracle applies — graduating the
+    streaming family from stream==batch pytest parity to a
+    rows+schema+hash driver oracle (streaming/geostream.py is the same
+    posture for the spatial pipeline)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    try:
+        tbl = _pq.read_table(src)
+        n = tbl.num_rows
+        cuts = [0, n // 3, 2 * n // 3, n]
+        for i in range(3):
+            _pq.write_table(
+                tbl.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                os.path.join(d, f"part-{i}.parquet"),
+            )
+        static = spark.read.parquet(src)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        win = (F.floor(_epoch_us(F.col("ts")) / F.lit(300_000_000)) * 300).cast("long")
+        agg = stream.groupBy(win.alias("window_s"), "event_type").agg(
+            F.count("*").alias("n_events"), F.min("event_id").alias("min_event_id")
+        )
+        _STREAM_SEQ[0] += 1
+        qname = f"events_window_stream_{_STREAM_SEQ[0]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(qname)
+    finally:
+        # the memory sink holds the rows; the staged slices are not needed
+        # after the stream drains (min-of-N bench loops must not leak dirs)
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1338,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         # events
         "events_window": q_events_window,
+        "events_window_stream": q_events_window_stream,
         "sessionize": q_sessionize,
         # extraction subsystem + flagship (rows-only)
         "extract_ways": q_extract_ways,
@@ -1873,6 +1933,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "events_window": """
+            SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT) AS window_s, event_type,
+                   count(*) AS n_events, min(event_id) AS min_event_id
+            FROM events GROUP BY 1, 2
+        """,
+        # the streaming twin drains to the same full-state answer
+        "events_window_stream": """
             SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT) AS window_s, event_type,
                    count(*) AS n_events, min(event_id) AS min_event_id
             FROM events GROUP BY 1, 2
