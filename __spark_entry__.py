@@ -1047,6 +1047,64 @@ def q_events_window_stream(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_stream_first_event(spark, sf_dir):
+    """Custom STATEFUL streaming operator under the exact-oracle gate
+    (streaming/geostream.py::stream_first_event_per_user,
+    applyInPandasWithState): the events table is staged globally sorted by
+    (ts, event_id) into three slices with strictly increasing mtimes (the
+    file source processes oldest-first), so first-seen-in-stream per user
+    equals the relational row_number()=1 answer.  A user whose rows span
+    micro-batches exercises the cross-batch state suppression; the first
+    batch containing a user holds their global minimum by construction."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from libosmtools_spark.streaming.geostream import stream_first_event_per_user
+
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="events_stateful_")
+    try:
+        tbl = _pq.read_table(src)
+        tbl = tbl.take(
+            _pc.sort_indices(
+                tbl, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+            )
+        )
+        n = tbl.num_rows
+        cuts = [0, n // 3, 2 * n // 3, n]
+        now = _time.time()
+        for i in range(3):
+            path = os.path.join(d, f"part-{i}.parquet")
+            _pq.write_table(tbl.slice(cuts[i], cuts[i + 1] - cuts[i]), path)
+            os.utime(path, (now + i, now + i))  # oldest-first = slice order
+        static = spark.read.parquet(src)
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = stream_first_event_per_user(stream)
+        _STREAM_SEQ[0] += 1
+        qname = f"stream_first_event_{_STREAM_SEQ[0]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(qname)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1398,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events
         "events_window": q_events_window,
         "events_window_stream": q_events_window_stream,
+        "stream_first_event": q_stream_first_event,
         "sessionize": q_sessionize,
         # extraction subsystem + flagship (rows-only)
         "extract_ways": q_extract_ways,
@@ -1936,6 +1995,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT) AS window_s, event_type,
                    count(*) AS n_events, min(event_id) AS min_event_id
             FROM events GROUP BY 1, 2
+        """,
+        # stateful applyInPandasWithState: first-seen over the ordered
+        # stream == relational first-per-key
+        "stream_first_event": """
+            SELECT user_id, ts, event_id, event_type FROM (
+              SELECT user_id, ts, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
         """,
         # the streaming twin drains to the same full-state answer
         "events_window_stream": """

@@ -83,6 +83,54 @@ def stream_dedup_first_seen(pages_stream: DataFrame):
     )
 
 
+def stream_first_event_per_user(events_stream: DataFrame):
+    """Custom stateful operator (applyInPandasWithState): emit each
+    user_id's FIRST event across the whole stream; later micro-batches'
+    rows for a seen user are suppressed.  State = one boolean per user.
+
+    First-seen is a STREAM-ORDER semantic; when the input stream is
+    globally ordered by (ts, event_id) — the driver query stages it that
+    way — the emitted row equals the relational ``row_number() OVER
+    (PARTITION BY user_id ORDER BY ts, event_id) = 1`` answer, which is
+    the exact-oracle contract.  Same chunk-order-independent min tracking
+    as stream_dedup_first_seen."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def first(key, batches, state):
+        if state.exists:
+            for _ in batches:
+                pass
+            return iter(())
+        best = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cand = pdf.sort_values(["ts", "event_id"], kind="stable").head(1)
+            if best is None or (
+                tuple(cand[["ts", "event_id"]].iloc[0])
+                < tuple(best[["ts", "event_id"]].iloc[0])
+            ):
+                best = cand
+        state.update((True,))
+        return iter(
+            () if best is None else (best[["user_id", "ts", "event_id", "event_type"]],)
+        )
+
+    return (
+        events_stream.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            first,
+            outputStructType=(
+                "user_id bigint, ts timestamp, event_id bigint, event_type string"
+            ),
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_dedup_stream_to_memory(spark, pages_dir: str, query_name: str = "dedup_stream"):
     """Drive the stateful dedup synchronously over fixture parquet."""
     import os

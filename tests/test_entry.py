@@ -55,7 +55,7 @@ def test_entry_smoke(spark):
     ["pip_region_rows", "pip_region_sets", "cell_assign", "cells_dict", "knn",
      "vector_to_raster", "token_count", "fingerprint", "events_window", "sessionize",
      "pip_antimeridian", "flagship_antimeridian", "refine_fixpoint",
-     "cell_repair", "events_window_stream"],
+     "cell_repair", "events_window_stream", "stream_first_event"],
 )
 def test_oracle_match(spark, duck, name):
     _match(spark, duck, name)
