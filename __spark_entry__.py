@@ -1105,6 +1105,35 @@ def q_stream_first_event(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_stream_region_counts(spark, sf_dir):
+    """The FULL spatial join as a continuous query under the exact-oracle
+    gate (streaming/geostream.py::stream_region_counts): geocode → cell
+    key → broadcast-store mapInArrow PIP → region explode → tumbling
+    10-minute windows, driven as a real streaming query over the pages
+    fixture (memory sink, processAllAvailable).  The oracle is relational:
+    the independently-computed golden page→regions parquet joined to the
+    pages' timestamps and bucketed with the same epoch-aligned arithmetic
+    — so the streaming engine is checked against brute-force PIP ground
+    truth, not against itself."""
+    from libosmtools_spark.pipeline import SpatialEngine
+    from libosmtools_spark.streaming.geostream import run_region_stream_to_memory
+
+    fx = _fixtures_for(sf_dir)
+    eng = SpatialEngine.from_fixtures(spark, fx)
+    _STREAM_SEQ[0] += 1
+    out = run_region_stream_to_memory(
+        spark,
+        os.path.join(fx, "pages.parquet"),
+        eng,
+        query_name=f"region_stream_{_STREAM_SEQ[0]}",
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_s"),
+        F.col("region_id").cast("long").alias("region_id"),
+        "n_pages",
+    )
+
+
 def q_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1457,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": q_events_window,
         "events_window_stream": q_events_window_stream,
         "stream_first_event": q_stream_first_event,
+        "stream_region_counts": q_stream_region_counts,
         "sessionize": q_sessionize,
         # extraction subsystem + flagship (rows-only)
         "extract_ways": q_extract_ways,
@@ -1995,6 +2025,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT) AS window_s, event_type,
                    count(*) AS n_events, min(event_id) AS min_event_id
             FROM events GROUP BY 1, 2
+        """,
+        # the continuous spatial join vs brute-force golden ground truth
+        "stream_region_counts": f"""
+            SELECT CAST((epoch_us(p.warc_ts) // 600000000) * 600 AS BIGINT) AS window_s,
+                   CAST(r.region_id AS BIGINT) AS region_id,
+                   count(*) AS n_pages
+            FROM read_parquet('{REPO}/fixtures/sf0.01/pages.parquet') p
+            JOIN (
+              SELECT url, UNNEST(region_ids) AS region_id
+              FROM read_parquet('{REPO}/fixtures/sf0.01/golden_page_regions.parquet')
+            ) r USING (url)
+            GROUP BY 1, 2
         """,
         # stateful applyInPandasWithState: first-seen over the ordered
         # stream == relational first-per-key

@@ -131,12 +131,22 @@ def stream_first_event_per_user(events_stream: DataFrame):
     )
 
 
+def _cleanup_staged(d) -> None:
+    """Remove a mkdtemp staging copy after the stream drains (the memory
+    sink owns the rows); no-op when the caller passed a real directory."""
+    if d is not None:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def run_dedup_stream_to_memory(spark, pages_dir: str, query_name: str = "dedup_stream"):
     """Drive the stateful dedup synchronously over fixture parquet."""
     import os
     import shutil
     import tempfile
 
+    d = None
     if os.path.isfile(pages_dir):
         d = tempfile.mkdtemp(prefix="geostream_dedup_")
         shutil.copy(pages_dir, os.path.join(d, os.path.basename(pages_dir)))
@@ -154,8 +164,11 @@ def run_dedup_stream_to_memory(spark, pages_dir: str, query_name: str = "dedup_s
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        _cleanup_staged(d)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -166,6 +179,7 @@ def run_stream_to_memory(spark, pages_dir: str, level: int = 6, query_name: str 
     import shutil
     import tempfile
 
+    d = None
     if os.path.isfile(pages_dir):
         # streaming file source requires a directory
         d = tempfile.mkdtemp(prefix="geostream_")
@@ -184,8 +198,11 @@ def run_stream_to_memory(spark, pages_dir: str, level: int = 6, query_name: str 
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        _cleanup_staged(d)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -234,6 +251,7 @@ def run_region_stream_to_memory(spark, pages_dir: str, engine, query_name: str =
     import shutil
     import tempfile
 
+    d = None
     if os.path.isfile(pages_dir):
         d = tempfile.mkdtemp(prefix="geostream_regions_")
         shutil.copy(pages_dir, os.path.join(d, os.path.basename(pages_dir)))
@@ -252,6 +270,9 @@ def run_region_stream_to_memory(spark, pages_dir: str, engine, query_name: str =
         .queryName(query_name)
         .start()
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        _cleanup_staged(d)
     return spark.sql(f"SELECT * FROM {query_name}")

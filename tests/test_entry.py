@@ -57,6 +57,9 @@ def test_entry_smoke(spark):
      "pip_antimeridian", "flagship_antimeridian", "refine_fixpoint",
      "cell_repair", "events_window_stream", "stream_first_event"],
 )
+# stream_region_counts is absent above: its oracle pins the sf0.01 fixture
+# goldens (like flagship_page_cells) — covered by tools/check_oracles.py
+# at sf0.01, the driver's tier
 def test_oracle_match(spark, duck, name):
     _match(spark, duck, name)
 
