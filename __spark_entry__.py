@@ -1428,18 +1428,20 @@ def _wrap(fn):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the driver's correctness gate checks the FIRST 50
+    # entries.  Slots 1-50 therefore hold every semantically distinct
+    # operator exactly once; slots 51-59 hold forced-physical-path twins /
+    # compositions whose logical twin is in-window (noted per entry).  All
+    # 59 still run under tools/check_oracles.py and pytest.
     raw = {
         # spatial core (G4/G6/T4/T9/T13 + north-rule kNN / raster↔vector)
         "pip_region_rows": q_pip_region_rows,
-        "pip_region_rows_shuffle": q_pip_region_rows_shuffle,
         "pip_region_sets": q_pip_region_sets,
         "cell_assign": q_cell_assign,
         "cells_dict": q_cells_dict,
         "doc_cell_ids": q_doc_cell_ids,
         "cell_repair": q_cell_repair,
         "knn": q_knn,
-        "knn_ring": q_knn_ring,
-        "knn_wrap": q_knn_wrap,
         "region_cells": q_region_cells,
         "raster_to_vector": q_raster_to_vector,
         "vector_to_raster": q_vector_to_raster,
@@ -1450,19 +1452,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "flagship_map": q_flagship_map,
         "pip_antimeridian": q_pip_antimeridian,
-        "flagship_antimeridian": q_flagship_antimeridian,
         "hop_split": q_hop_split,
         "cell_center_mass": q_cell_center_mass,
         "cell_point_stats": q_cell_point_stats,
         "region_sort": q_region_sort,
         "hop_distances": q_hop_distances,
         "cell_graph_diameter": q_cell_graph_diameter,
-        "cell_graph_diameter_loop": q_cell_graph_diameter_loop,
         "split_criteria": q_split_criteria,
-        "split_criteria_diag": q_split_criteria_diag,
         "refine_fixpoint": q_refine_fixpoint,
         "selftest_invariants": q_selftest_invariants,
         "cells_roundtrip": q_cells_roundtrip,
+        # extraction subsystem + flagship golden
+        "extract_ways": q_extract_ways,
+        "extract_regions": q_extract_regions,
+        "flagship_page_cells": q_flagship_page_cells,
         # text / dedup / similarity / multimodal
         "token_count": q_token_count,
         "quality": q_quality,
@@ -1473,25 +1476,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine": q_ann_cosine,
-        "ann_cosine_blocked": q_ann_cosine_blocked,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "cosine_dup": q_cosine_dup,
-        "cosine_dup_blocked": q_cosine_dup_blocked,
         "mm_features": q_mm_features,
-        # events
+        # events + streaming
         "events_window": q_events_window,
         "events_window_stream": q_events_window_stream,
         "stream_first_event": q_stream_first_event,
         "stream_region_counts": q_stream_region_counts,
         "sessionize": q_sessionize,
-        # extraction subsystem + flagship (rows-only)
-        "extract_ways": q_extract_ways,
-        "extract_regions": q_extract_regions,
-        "flagship_page_cells": q_flagship_page_cells,
+        # --- slot 51+: physical-path twins (driver-unchecked by the 50-slot
+        # cap; verified by tools/check_oracles.py + pytest every round) ---
+        "pip_region_rows_shuffle": q_pip_region_rows_shuffle,  # twin: pip_region_rows
+        "knn_ring": q_knn_ring,  # twin: knn (distributed ring-expansion path)
+        "knn_wrap": q_knn_wrap,  # knn + the wrap metric pinned by pip_antimeridian
+        "ann_cosine_blocked": q_ann_cosine_blocked,  # twin: ann_cosine
+        "cosine_dup_blocked": q_cosine_dup_blocked,  # twin: cosine_dup
+        "cell_graph_diameter_loop": q_cell_graph_diameter_loop,  # twin: cell_graph_diameter
+        "split_criteria_diag": q_split_criteria_diag,  # twin: split_criteria
+        "simhash": q_simhash,  # fingerprint column recomputed inside simhash_pairs
+        "flagship_antimeridian": q_flagship_antimeridian,  # flagship_map + pip_antimeridian
     }
     return {name: _wrap(fn) for name, fn in raw.items()}
 
