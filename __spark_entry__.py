@@ -1995,13 +1995,26 @@ def oracle_sql() -> dict[str, str]:
         # extraction goldens: outputs of the deterministic repo OSM fixtures
         # (fixtures/sf*/nodes|ways|relations.parquet), independently derived
         # — tiny by design, embedded as literals
+        # hand-derived under the reference's default extraction types
+        # ET_ALL_SPECIAL_BUT_BUILDINGS (AreaExtractor.h:163): kept = boundary
+        # (100), landuse (105), place=island (106), area with all exclusions
+        # absent (107), area+building=no — BoolTagFilter(false) matches the
+        # explicit falsy (109), area+highway — highway is NOT an exclusion
+        # key (110); dropped = area+building=yes (108), bare building (111)
         "extract_ways": """
             SELECT * FROM (VALUES
               (CAST(100 AS BIGINT), 'outer', 5),
               (CAST(105 AS BIGINT), 'outer', 5),
-              (CAST(106 AS BIGINT), 'outer', 5)
+              (CAST(106 AS BIGINT), 'outer', 5),
+              (CAST(107 AS BIGINT), 'outer', 5),
+              (CAST(109 AS BIGINT), 'outer', 5),
+              (CAST(110 AS BIGINT), 'outer', 5)
             ) t(orig_id, ring_role, n_points)
         """,
+        # relations: 200/201/203/205/206 as before, 207 = bare type=boundary
+        # (boundary-relation arm, no area-tag conjunction — cpp:77-79);
+        # dropped: 202 (unstitchable), 204 (type=route), 208 (bare
+        # multipolygon without ET_MULTIPOLYGONS)
         "extract_regions": """
             SELECT * FROM (VALUES
               (0, 'relation', CAST(200 AS BIGINT), 0, 'outer', 9),
@@ -2011,9 +2024,13 @@ def oracle_sql() -> dict[str, str]:
               (2, 'relation', CAST(203 AS BIGINT), 1, 'inner', 5),
               (3, 'relation', CAST(205 AS BIGINT), 0, 'outer', 5),
               (4, 'relation', CAST(206 AS BIGINT), 0, 'outer', 5),
-              (5, 'way', CAST(100 AS BIGINT), 0, 'outer', 5),
-              (6, 'way', CAST(105 AS BIGINT), 0, 'outer', 5),
-              (7, 'way', CAST(106 AS BIGINT), 0, 'outer', 5)
+              (5, 'relation', CAST(207 AS BIGINT), 0, 'outer', 5),
+              (6, 'way', CAST(100 AS BIGINT), 0, 'outer', 5),
+              (7, 'way', CAST(105 AS BIGINT), 0, 'outer', 5),
+              (8, 'way', CAST(106 AS BIGINT), 0, 'outer', 5),
+              (9, 'way', CAST(107 AS BIGINT), 0, 'outer', 5),
+              (10, 'way', CAST(109 AS BIGINT), 0, 'outer', 5),
+              (11, 'way', CAST(110 AS BIGINT), 0, 'outer', 5)
             ) t(region_id, source, orig_id, ring_id, ring_role, n_points)
         """,
         # golden-file oracle: brute-force numpy PIP + independent cell/dict

@@ -580,6 +580,64 @@ def osm_frames():
         }
     )
 
+    # --- tag-filter parity rows (/root/reference/src/AreaExtractorFilters.cpp:23-83):
+    #     each discriminates the reference's conditional-exclusion /
+    #     BoolTagFilter(false) / type-only-multipolygon semantics from a
+    #     blanket key-absence formula.
+    # way 107: bare area=yes → kept under ET_DEFAULT (all exclusions absent)
+    add_nodes([84, 85, 86, 87], [(60, 60), (60, 61), (61, 61), (61, 60)])
+    ways.append({"way_id": 107, "refs": [84, 85, 86, 87, 84], "tags": {"area": "yes"}})
+    # way 108: area=yes + building=yes → dropped under ET_DEFAULT (building
+    # exclusion fails: truthy), kept under ET_ALL_SPECIAL (building branch)
+    add_nodes([88, 89, 90, 91], [(62, 62), (62, 63), (63, 63), (63, 62)])
+    ways.append(
+        {"way_id": 108, "refs": [88, 89, 90, 91, 88], "tags": {"area": "yes", "building": "yes"}}
+    )
+    # way 109: area=yes + building=no → kept under ET_DEFAULT
+    # (BoolTagFilter(building,false) matches the explicit falsy value)
+    add_nodes([92, 93, 94, 95], [(64, 64), (64, 65), (65, 65), (65, 64)])
+    ways.append(
+        {"way_id": 109, "refs": [92, 93, 94, 95, 92], "tags": {"area": "yes", "building": "no"}}
+    )
+    # way 110: area=yes + highway=pedestrian → kept (highway is NOT in the
+    # reference exclusion set {building, boundary, landuse, natural})
+    add_nodes([96, 97, 98, 99], [(66, 66), (66, 67), (67, 67), (67, 66)])
+    ways.append(
+        {
+            "way_id": 110,
+            "refs": [96, 97, 98, 99, 96],
+            "tags": {"area": "yes", "highway": "pedestrian"},
+        }
+    )
+    # way 111: building=residential only → dropped under ET_DEFAULT (no
+    # ET_BUILDING), kept under ET_ALL_SPECIAL via the building KeyOnly branch
+    add_nodes([120, 121, 122, 123], [(68, 68), (68, 69), (69, 69), (69, 68)])
+    ways.append(
+        {"way_id": 111, "refs": [120, 121, 122, 123, 120], "tags": {"building": "residential"}}
+    )
+    # rel 207: bare type=boundary, NO area tags → kept under ET_DEFAULT via
+    # the boundary-relation arm (cpp:77-79 — no area-filter conjunction)
+    add_nodes([124, 125, 126, 127], [(70, 70), (70, 71), (71, 71), (71, 70)])
+    ways.append({"way_id": 315, "refs": [124, 125, 126, 127, 124], "tags": {}})
+    rels.append(
+        {
+            "rel_id": 207,
+            "members": [{"type": "way", "ref": 315, "role": "outer"}],
+            "tags": {"type": "boundary", "name": "bare-boundary"},
+        }
+    )
+    # rel 208: type=multipolygon with no qualifying area tag → dropped under
+    # ET_DEFAULT, kept type-only when ET_MULTIPOLYGONS is set (cpp:71-73)
+    add_nodes([128, 129, 130, 131], [(72, 72), (72, 73), (73, 73), (73, 72)])
+    ways.append({"way_id": 316, "refs": [128, 129, 130, 131, 128], "tags": {}})
+    rels.append(
+        {
+            "rel_id": 208,
+            "members": [{"type": "way", "ref": 316, "role": "outer"}],
+            "tags": {"type": "multipolygon"},
+        }
+    )
+
     nodes_df = pd.DataFrame(nodes).drop_duplicates("node_id").reset_index(drop=True)
     nodes_df["lat"] = K.snap(nodes_df["lat"].to_numpy())
     nodes_df["lon"] = K.snap(nodes_df["lon"].to_numpy())

@@ -23,33 +23,80 @@ from pyspark.sql import functions as F
 # S2 — tag-filter predicate tree (/root/reference/src/AreaExtractorFilters.cpp:9-94)
 # ---------------------------------------------------------------------------
 
-#: extraction-type bits, mirroring
-#: /root/reference/include/osmtools/AreaExtractorFilters.h:13-23
-ET_BOUNDARY = 1
-ET_LANDUSE = 2
-ET_NATURAL = 4
-ET_AREA = 8
-ET_BUILDING = 16
-ET_ISLAND = 32
-ET_MULTIPOLYGON = 64
-ET_ALL = ET_BOUNDARY | ET_LANDUSE | ET_NATURAL | ET_AREA | ET_BUILDING | ET_ISLAND
+#: extraction-type bits, byte-for-byte the reference enum
+#: (/root/reference/include/osmtools/AreaExtractorFilters.h:13-23).
+#: ET_BUILDING deliberately includes the ET_AREA bit (0x20|0x40): setting it
+#: both enables the building KeyOnly branch AND activates the area branch;
+#: the building branch itself fires only when BOTH bits are set
+#: (`(et & ET_BUILDING) == ET_BUILDING`, AreaExtractorFilters.cpp:23).
+ET_NONE = 0x0
+ET_PRIMITIVE_WAYS = 0x1
+ET_PRIMITIVE_RELATIONS = 0x2
+ET_BOUNDARIES = 0x4
+ET_LANDUSE = 0x8
+ET_NATURAL = 0x10
+ET_AREA = 0x20
+ET_BUILDING = 0x20 | 0x40
+ET_ISLAND = 0x80
+ET_MULTIPOLYGONS = 0x100
+ET_ALL_SPECIAL_BUT_BUILDINGS = (
+    ET_BOUNDARIES | ET_LANDUSE | ET_NATURAL | ET_AREA | ET_ISLAND
+    | ET_PRIMITIVE_WAYS | ET_PRIMITIVE_RELATIONS
+)
+ET_ALL_SPECIAL = ET_ALL_SPECIAL_BUT_BUILDINGS | ET_BUILDING
+ET_ALL_MULTIPOLYGONS = ET_MULTIPOLYGONS | ET_PRIMITIVE_RELATIONS
+#: the reference's extract() default (AreaExtractor.h:163) — note: NOT
+#: buildings, NOT bare multipolygons
+ET_DEFAULT = ET_ALL_SPECIAL_BUT_BUILDINGS
+#: ET_ALL is commented out in the reference header (AreaExtractorFilters.h:22);
+#: provided here as the documented union it would be
+ET_ALL = ET_ALL_SPECIAL | ET_ALL_MULTIPOLYGONS
 
-#: area-exclusion keys for the "area minus exclusions" conjunction
-#: (/root/reference/src/AreaExtractorFilters.cpp:38-63)
-AREA_EXCLUSION_KEYS = ("boundary", "landuse", "natural", "building", "highway", "railway")
-
-#: island multi-values (/root/reference/src/AreaExtractorFilters.cpp:26-37)
+#: island multi-values (/root/reference/src/AreaExtractorFilters.cpp:35-37)
 ISLAND_VALUES = ("island", "archipelago", "islet")
 
+#: osmpbf BoolTagFilter(key, false) value set — explicit falsy spellings;
+#: the exclusion conjunction treats key-absence as falsy too (the tag does
+#: not assert the excluded feature type)
+FALSY_TAG_VALUES = ("false", "no", "0")
 
-def tag_filter(extraction_types: int = ET_ALL) -> Column:
-    """Pure Column predicate over ``tags: map<string,string>`` — composed
-    Or/KeyOnly/KeyValue/KeyMultiValue exactly like
-    createExtractionFilter (/root/reference/src/AreaExtractorFilters.cpp:9-94).
-    Catalyst pushes it down to the scan."""
+#: (key, ET bit) pairs eligible for the conditional area-exclusion
+#: conjunction (/root/reference/src/AreaExtractorFilters.cpp:38-55) — an
+#: exclusion is added ONLY when that key's own ET bit is NOT (fully) set
+AREA_EXCLUSIONS = (
+    ("building", ET_BUILDING),
+    ("boundary", ET_BOUNDARIES),
+    ("landuse", ET_LANDUSE),
+    ("natural", ET_NATURAL),
+)
+
+
+def bool_tag_false(tags: Column, key: str) -> Column:
+    """BoolTagFilter(key, false) semantics: the tag is absent or carries an
+    explicitly falsy value (/root/reference/src/AreaExtractorFilters.cpp:42;
+    osmpbf BoolTagFilter(false) value set {False,false,No,no,0} — matched
+    case-insensitively here)."""
+    v = F.element_at(tags, key)
+    return v.isNull() | F.lower(v).isin(*FALSY_TAG_VALUES)
+
+
+def tag_filter(extraction_types: int = ET_DEFAULT) -> Column:
+    """The way-side area filter: pure Column predicate over
+    ``tags: map<string,string>`` — the Or/KeyOnly/KeyMultiValue/BoolTag tree
+    of createExtractionFilter, branch for branch
+    (/root/reference/src/AreaExtractorFilters.cpp:23-63).  Catalyst pushes
+    it down to the scan.
+
+    Branch order mirrors the reference: building, boundary, landuse,
+    natural, island, then the area branch.  Under ET_AREA the KeyOnly("area")
+    is AND-ed with one absent-or-falsy exclusion per feature key whose own
+    ET bit is unset — under e.g. ET_ALL_SPECIAL the area predicate is plain
+    KeyOnly("area") with no exclusions (cpp:56-62)."""
     t = F.col("tags")
     preds = []
-    if extraction_types & ET_BOUNDARY:
+    if (extraction_types & ET_BUILDING) == ET_BUILDING:
+        preds.append(F.map_contains_key(t, "building"))
+    if extraction_types & ET_BOUNDARIES:
         preds.append(F.map_contains_key(t, "boundary"))
     if extraction_types & ET_LANDUSE:
         preds.append(F.map_contains_key(t, "landuse"))
@@ -57,12 +104,11 @@ def tag_filter(extraction_types: int = ET_ALL) -> Column:
         preds.append(F.map_contains_key(t, "natural"))
     if extraction_types & ET_ISLAND:
         preds.append(F.element_at(t, "place").isin(*ISLAND_VALUES))
-    if extraction_types & ET_BUILDING:
-        preds.append(F.map_contains_key(t, "building"))
     if extraction_types & ET_AREA:
         area = F.map_contains_key(t, "area")
-        for k in AREA_EXCLUSION_KEYS:
-            area = area & ~F.map_contains_key(t, k)
+        for key, bit in AREA_EXCLUSIONS:
+            if (extraction_types & bit) != bit:
+                area = area & bool_tag_false(t, key)
         preds.append(area)
     out = F.lit(False)
     for p in preds:
@@ -70,12 +116,19 @@ def tag_filter(extraction_types: int = ET_ALL) -> Column:
     return out
 
 
-def relation_tag_filter(extraction_types: int = ET_ALL) -> Column:
-    """Relations additionally require type ∈ {multipolygon, multipoly,
-    boundary} (/root/reference/src/AreaExtractorFilters.cpp:64-83)."""
+def relation_tag_filter(extraction_types: int = ET_DEFAULT) -> Column:
+    """Relation-side filter (/root/reference/src/AreaExtractorFilters.cpp:69-83):
+    multipolygon arm = type ∈ {multipoly, multipolygon}, TYPE-ONLY when
+    ET_MULTIPOLYGONS is set, else AND-ed with the area filter; when
+    ET_BOUNDARIES is set a bare ``type=boundary`` relation also passes
+    (no area-tag requirement)."""
     t = F.col("tags")
-    type_ok = F.element_at(t, "type").isin("multipolygon", "multipoly", "boundary")
-    return type_ok & tag_filter(extraction_types)
+    mp = F.element_at(t, "type").isin("multipoly", "multipolygon")
+    if not (extraction_types & ET_MULTIPOLYGONS):
+        mp = mp & tag_filter(extraction_types)
+    if extraction_types & ET_BOUNDARIES:
+        return (F.element_at(t, "type") == "boundary") | mp
+    return mp
 
 
 # ---------------------------------------------------------------------------
@@ -89,7 +142,7 @@ def closed_way_filter() -> Column:
 
 
 def extract_way_polygons(
-    nodes: DataFrame, ways: DataFrame, extraction_types: int = ET_ALL
+    nodes: DataFrame, ways: DataFrame, extraction_types: int = ET_DEFAULT
 ) -> DataFrame:
     """Way phase (3 reference scans collapsed into one DAG):
     S3 filter → S4 node semi-join → S5 assembly.  Ways referencing a missing
@@ -127,7 +180,7 @@ def extract_way_polygons(
     )
 
 
-def rejected_ways(nodes: DataFrame, ways: DataFrame, extraction_types: int = ET_ALL) -> DataFrame:
+def rejected_ways(nodes: DataFrame, ways: DataFrame, extraction_types: int = ET_DEFAULT) -> DataFrame:
     """The anti-join route: tag-matching closed ways dropped for missing
     nodes (reject accounting, /root/reference/src/AreaExtractor.cpp:198-204)."""
     kept = ways.filter(closed_way_filter() & tag_filter(extraction_types))
@@ -211,7 +264,7 @@ REGION_SCHEMA = (
 
 
 def extract_relation_polygons(
-    nodes: DataFrame, ways: DataFrame, relations: DataFrame, extraction_types: int = ET_ALL
+    nodes: DataFrame, ways: DataFrame, relations: DataFrame, extraction_types: int = ET_DEFAULT
 ) -> DataFrame:
     """Relation phase (4 reference scans → one DAG): S6 member collection →
     S7 way-ref gather → S4 node gather → S9/S10 stitch + assemble.
@@ -323,7 +376,7 @@ def sort_regions(regions: DataFrame, by: list) -> DataFrame:
 
 
 def extract_regions(
-    nodes: DataFrame, ways: DataFrame, relations: DataFrame, extraction_types: int = ET_ALL
+    nodes: DataFrame, ways: DataFrame, relations: DataFrame, extraction_types: int = ET_DEFAULT
 ) -> DataFrame:
     """Full extraction: ways ∪ relations → dense region_id by canonical
     (source, orig_id) order (G2's deterministic id contract)."""

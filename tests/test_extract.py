@@ -67,11 +67,57 @@ class TestWayExtraction:
         nodes, ways, rels = osm
         out = extract_way_polygons(nodes, ways).toPandas()
         kept = set(out["orig_id"])
-        # way 100 boundary, 105 landuse, 106 place=island are kept
-        assert kept == {100, 105, 106}
+        # under ET_DEFAULT (= ET_ALL_SPECIAL_BUT_BUILDINGS): boundary (100),
+        # landuse (105), place=island (106), bare area (107), area with
+        # explicit building=no (109), area+highway (110 — highway is not an
+        # exclusion key).  Dropped: area+building=yes (108), bare building
+        # (111), untagged/open/missing-node ways.
+        assert kept == {100, 105, 106, 107, 109, 110}
         sq = out[out["orig_id"] == 100].iloc[0]
         assert len(sq["points"]) == 5
         assert sq["points"][0] == sq["points"][-1]
+
+    def test_building_branch_et_all_special(self, osm):
+        """ET_ALL_SPECIAL adds the building KeyOnly branch AND removes the
+        building exclusion from the area conjunction
+        (/root/reference/src/AreaExtractorFilters.cpp:23-25,41-43)."""
+        from libosmtools_spark.extract.areas import ET_ALL_SPECIAL, extract_way_polygons
+
+        nodes, ways, rels = osm
+        kept = set(extract_way_polygons(nodes, ways, ET_ALL_SPECIAL).toPandas()["orig_id"])
+        # 108 (area+building=yes) and 111 (bare building) now pass
+        assert kept == {100, 105, 106, 107, 108, 109, 110, 111}
+
+    def test_area_branch_exclusion_conditional(self, spark, osm):
+        """Exclusions apply only for UNSET ET bits: under ET_AREA alone every
+        exclusion is active; ways tagged boundary/landuse (absent area key)
+        don't pass; area+building=yes fails the building exclusion
+        (/root/reference/src/AreaExtractorFilters.cpp:38-63)."""
+        from libosmtools_spark.extract.areas import ET_AREA, ET_PRIMITIVE_WAYS, tag_filter
+
+        nodes, ways, rels = osm
+        kept = set(
+            ways.filter(tag_filter(ET_AREA | ET_PRIMITIVE_WAYS)).toPandas()["way_id"]
+        )
+        assert kept == {107, 109, 110}
+
+    def test_bool_tag_false_semantics(self, spark):
+        """BoolTagFilter(key,false): absent OR explicitly falsy — a non-falsy
+        non-truthy value (building=garage) does NOT satisfy the exclusion."""
+        from libosmtools_spark.extract.areas import ET_AREA, tag_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, {"area": "yes"}),
+                (2, {"area": "yes", "building": "no"}),
+                (3, {"area": "yes", "building": "False"}),
+                (4, {"area": "yes", "building": "garage"}),
+                (5, {"area": "yes", "building": "yes"}),
+            ],
+            "id int, tags map<string,string>",
+        )
+        kept = {r.id for r in df.filter(tag_filter(ET_AREA)).collect()}
+        assert kept == {1, 2, 3}
 
     def test_missing_node_rejected_and_counted(self, osm):
         from libosmtools_spark.extract.areas import rejected_ways
@@ -152,6 +198,34 @@ class TestRelationExtraction:
         nodes, ways, rels = osm
         out = extract_relation_polygons(nodes, ways, rels).toPandas()
         assert 204 not in set(out["orig_id"])
+
+    def test_bare_boundary_relation_kept(self, osm):
+        """ET_BOUNDARIES admits a bare type=boundary relation with NO area
+        tags (/root/reference/src/AreaExtractorFilters.cpp:77-79)."""
+        from libosmtools_spark.extract.areas import extract_relation_polygons
+
+        nodes, ways, rels = osm
+        out = extract_relation_polygons(nodes, ways, rels).toPandas()
+        r207 = out[out["orig_id"] == 207]
+        assert len(r207) == 1 and r207.iloc[0]["ring_role"] == "outer"
+
+    def test_multipolygon_type_only_arm(self, osm):
+        """rel 208 (type=multipolygon, no qualifying tag): dropped under
+        ET_DEFAULT (area conjunction required), kept TYPE-ONLY when
+        ET_MULTIPOLYGONS is set (/root/reference/src/AreaExtractorFilters.cpp:71-76)."""
+        from libosmtools_spark.extract.areas import (
+            ET_DEFAULT,
+            ET_MULTIPOLYGONS,
+            extract_relation_polygons,
+        )
+
+        nodes, ways, rels = osm
+        out = extract_relation_polygons(nodes, ways, rels).toPandas()
+        assert 208 not in set(out["orig_id"])
+        out_mp = extract_relation_polygons(
+            nodes, ways, rels, ET_DEFAULT | ET_MULTIPOLYGONS
+        ).toPandas()
+        assert 208 in set(out_mp["orig_id"])
 
 
 class TestUnifiedRegions:
