@@ -135,11 +135,17 @@ def membw_multi(nproc: int, seconds: float = 2.0) -> float:
     # and join() still returns — drain with a timeout instead of blocking
     # the whole bench on a result that will never arrive
     total = 0.0
+    missing = 0
     for _ in ps:
         try:
             total += q.get(timeout=5.0)
         except _queue.Empty:
-            break
+            # keep draining: other workers may already have enqueued results
+            # (each get has its own timeout); breaking here would silently
+            # understate aggregate bandwidth
+            missing += 1
+    if missing:
+        print(f"membw_multi: {missing}/{len(ps)} worker results missing", file=sys.stderr)
     return round(total, 1)
 
 

@@ -166,8 +166,10 @@ def refine_until_good(
     q_refine_fixpoint``); key-only criteria (diag/edge/centroid) need
     none."""
     from libosmtools_spark.geom.columns import cell_key_col
+    from libosmtools_spark.session import release_local_checkpoint
 
     df = cells
+    prev_ck = None
     for _ in range(min(max_rounds, MAX_REFINE_ROUNDS)):
         level = F.shiftright(F.col("cell_key"), _LEVEL_SHIFT)
         bad = is_bad(df) & (level < F.lit(max_level))
@@ -196,4 +198,10 @@ def refine_until_good(
         if refresh is not None:
             df = refresh(df)
         df = df.localCheckpoint()
+        # the new round's checkpoint is eager, so the superseded round's
+        # blocks can be released immediately — without this the loop
+        # accumulates O(rounds) persisted block sets per call
+        if prev_ck is not None:
+            release_local_checkpoint(prev_ck)
+        prev_ck = df
     return df

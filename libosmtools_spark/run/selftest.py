@@ -70,16 +70,22 @@ def selftest_violations(cells: DataFrame, point_cells: DataFrame | None = None) 
         .filter(F.col("c") > 1)
         .agg(F.count("*").alias("n")),
     )
+    # null-safe: a NULL cell_id/region_ids is itself corruption and must
+    # COUNT as a violation — a plain != predicate evaluates to NULL there
+    # and the filter would silently drop the row (store reads healthy)
     empty_iff_0 = named(
         "empty_set_iff_cell0",
         base.filter(
-            (F.col("cell_id") == 0) != (F.size("region_ids") == 0)
+            F.col("cell_id").isNull()
+            | F.col("region_ids").isNull()
+            | ((F.col("cell_id") == 0) != (F.size("region_ids") == 0))
         ).agg(F.count("*").alias("n")),
     )
     sorted_distinct = named(
         "region_ids_sorted_distinct",
         base.filter(
-            (F.sort_array("region_ids") != F.col("region_ids"))
+            F.col("region_ids").isNull()
+            | (F.sort_array("region_ids") != F.col("region_ids"))
             | (F.size(F.array_distinct("region_ids")) != F.size("region_ids"))
         ).agg(F.count("*").alias("n")),
     )
@@ -112,7 +118,8 @@ def selftest_violations(cells: DataFrame, point_cells: DataFrame | None = None) 
         mismatch = named(
             "points_match_dict",
             looked_up.filter(
-                F.col("stored") != F.coalesce(F.col("fresh"), F.lit(0))
+                F.col("stored").isNull()
+                | (F.col("stored") != F.coalesce(F.col("fresh"), F.lit(0)))
             ).agg(F.count("*").alias("n")),
         )
         out = out.unionByName(mismatch)

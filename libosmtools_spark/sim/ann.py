@@ -540,9 +540,13 @@ def ivf_train_centroids(
         # unconditional while staying deterministic (ties impossible: ids
         # are unique, the orderBy is total)
         m = max(1, n // sample_rows)
+        # truncation key = hash, not raw id: when the hash filter
+        # over-delivers, a raw-id limit would keep only the smallest ids and
+        # bias training toward ingest order; ordering by (hash, id) keeps the
+        # truncation pseudo-random while staying deterministic and total
         take = (
             take.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
-            .orderBy(id_col)
+            .orderBy(F.xxhash64(F.col(id_col)), id_col)
             .limit(2 * sample_rows)
         )
     pdf = take.orderBy(id_col).toPandas()
