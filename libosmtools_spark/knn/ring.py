@@ -36,6 +36,13 @@ from libosmtools_spark.geom.columns import (
 from libosmtools_spark.joins.spatial import with_cell_key
 from libosmtools_spark.sim.topk import topk_rows
 
+#: per-chunk element budget for the brute distance matrix (see knn_brute).
+#: Measured at 50k corpus points, 32 cores (warm JVM, min-of-2): 4M elems
+#: 5.8 s, 1M 3.8 s, 256k 3.0 s, 64k 3.1 s — ~512 KB temporaries stay
+#: private-cache-resident and keep scaling with cores (same shape as the
+#: PIP kernel's _PIP_CHUNK_ELEMS finding)
+_KNN_CHUNK_ELEMS = 262_144
+
 #: ranking metrics: 'flat' = plain squared-degree euclid (the oracle-default
 #: contract); 'wrap' = Δlon wrapped around ±180° (geodesically honest near
 #: the antimeridian; same exactness guarantees).  The ring bound
@@ -43,8 +50,16 @@ from libosmtools_spark.sim.topk import topk_rows
 #: grid columns away even counting the wrap (ring_keys_col wraps ix).
 _METRIC_COLS = {"flat": sq_euclid_deg_col, "wrap": wrap_sq_euclid_deg_col}
 
-#: below this many points the broadcast-matrix strategy wins outright
-BRUTE_THRESHOLD = 200_000
+#: below this many points the broadcast-matrix strategy wins outright.
+#: Measured on the bench corpus (tools/knn_probe.py, 32 cores, x10 replica
+#: distribution, warm JVM, min-of-2, after the chunk + one-checkpoint-per-
+#: round fixes): brute/ring walls 1.1/3.4 s at 20k, 2.8/4.2 s at 50k —
+#: brute extrapolates quadratically past ring's near-flat wall at ~60-80k
+#: points.  64k is the measured crossover on this box, NOT a universal
+#: constant: on a real cluster the bound is executor-memory for the
+#: broadcast matrix and per-task quadratic work, so callers at other
+#: scales should re-probe.
+BRUTE_THRESHOLD = 64_000
 
 
 def knn_brute(points: DataFrame, id_col: str, k: int = 5, lat: str = "lat", lon: str = "lon",
@@ -74,8 +89,10 @@ def knn_brute(points: DataFrame, id_col: str, k: int = 5, lat: str = "lat", lon:
             qids = b[id_col].to_numpy()
             qla = b[lat].to_numpy(dtype=np.float64)
             qlo = b[lon].to_numpy(dtype=np.float64)
-            # chunk queries to bound the distance-matrix working set
-            chunk = max(16, 4_000_000 // max(len(nids), 1))
+            # chunk queries to keep the distance-matrix temporaries
+            # cache-resident (several live arrays per chunk; large chunks go
+            # memory-bandwidth-bound and stop scaling with cores)
+            chunk = max(4, _KNN_CHUNK_ELEMS // max(len(nids), 1))
             rows = {id_col: [], "neighbor_id": [], "rank": []}
             for i in range(0, len(qids), chunk):
                 qi = slice(i, i + chunk)
@@ -132,7 +149,19 @@ def knn_ring(
             )
         )
         w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("n_id").asc())
-        topk = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        # ONE heavy action per round: the eager checkpoint of the round's
+        # top-k rows (≤ k per unresolved query).  Everything downstream —
+        # done detection, the resolved slice, the next round's unresolved
+        # anti-join, and the final union — reads these materialized blocks
+        # instead of re-running the ring join + window (which previously
+        # executed twice per round: once for the unresolved checkpoint and
+        # again when the final result was materialized).
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .localCheckpoint(eager=True)
+        )
+        loop_ckpts.append(topk)
         bound = (radius * cell_size) ** 2
         kth = topk.groupBy(id_col).agg(F.max("rank").alias("nk"), F.max("d2").alias("dk"))
         done_ids = kth.filter((F.col("nk") == k) & (F.col("dk") < bound)).select(id_col)
@@ -141,6 +170,8 @@ def knn_ring(
                 id_col, F.col("n_id").alias("neighbor_id"), "rank"
             )
         )
+        # cheap: anti-join of the (cached) point table against an aggregate
+        # of the materialized topk
         unresolved = unresolved.join(done_ids, id_col, "left_anti").localCheckpoint()
         loop_ckpts.append(unresolved)
         radius *= 2
@@ -171,9 +202,8 @@ def knn_ring(
         out = out.unionByName(fallback)
     # materialize the (narrow: id, neighbor_id, rank) result once, then
     # release the cached point tables — repeated calls in a long-lived
-    # session must not accumulate storage (the loop has already paid for
-    # every stage via the per-round isEmpty() evaluations, so this final
-    # pass mostly re-reads cached blocks)
+    # session must not accumulate storage (this final pass only re-reads
+    # the per-round topk checkpoints: cheap semi-joins, no ring re-compute)
     out = out.localCheckpoint(eager=True)
     pts.unpersist()
     data.unpersist()
