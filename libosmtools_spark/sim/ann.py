@@ -26,8 +26,20 @@ from pyspark.sql import types as T
 from libosmtools_spark.sim.topk import topk_rows
 
 #: corpora up to this many rows broadcast whole (same posture as the
-#: region store / knn_join's brute threshold — a dimension-scale index)
-BRUTE_MAX_ROWS = 200_000
+#: region store / knn_join's brute threshold — a dimension-scale index).
+#: Measured on the bench corpus (32 cores, warm, min-of-2, with query
+#: chunking): brute/blocked walls 1.2/2.6 s at 10k, 2.3/3.5-5.2 s at 20k;
+#: brute grows quadratically past the blocked path's near-flat wall, so the
+#: crossover sits at ~25-35k rows on this box.  Box-measured, not
+#: universal: on a cluster the binding constraint is executor memory for
+#: the broadcast matrix — re-probe at other scales.
+BRUTE_MAX_ROWS = 24_000
+
+#: per-chunk element budget for brute cosine score matrices: ~512 KB
+#: temporaries stay private-cache-resident; unchunked full-batch matmuls
+#: (e.g. 1250×20000 ≈ 200 MB) go memory-bandwidth-bound and fall off a
+#: cliff (measured 0.9 s → 19.3 s from 10k to 20k corpus rows)
+_ANN_CHUNK_ELEMS = 262_144
 
 _TOPK_SCHEMA = T.StructType(
     [
@@ -108,24 +120,29 @@ def cosine_topk_brute(
 
     def part(it):
         nids, Mn = bc.value
+        chunk = max(4, _ANN_CHUNK_ELEMS // max(len(nids), 1))
         for pdf in it:
             Q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             qn = np.linalg.norm(Q, axis=1)
             qn[qn == 0] = 1.0
-            S = (Q / qn[:, None]) @ Mn.T  # (q, n) cosine matrix
-            qids = pdf[id_col].to_numpy()
-            S[qids[:, None] == nids[None, :]] = -np.inf  # self-exclusion
-            # corpus is id-sorted: topk_rows(-S) gives exact
-            # (cosine desc, id asc) at O(n) per row — no per-row lexsort
-            top = topk_rows(-S, k)
-            m, kk = top.shape
-            yield pd.DataFrame(
-                {
-                    "qid": np.repeat(qids, kk),
-                    "neighbor_id": nids[top].ravel(),
-                    "rank": np.tile(np.arange(1, kk + 1), m),
-                }
-            )
+            Qn = Q / qn[:, None]
+            all_qids = pdf[id_col].to_numpy()
+            for i in range(0, len(all_qids), chunk):
+                qi = slice(i, i + chunk)
+                S = Qn[qi] @ Mn.T  # (chunk, n) cosine matrix
+                qids = all_qids[qi]
+                S[qids[:, None] == nids[None, :]] = -np.inf  # self-exclusion
+                # corpus is id-sorted: topk_rows(-S) gives exact
+                # (cosine desc, id asc) at O(n) per row — no per-row lexsort
+                top = topk_rows(-S, k)
+                m, kk = top.shape
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(qids, kk),
+                        "neighbor_id": nids[top].ravel(),
+                        "rank": np.tile(np.arange(1, kk + 1), m),
+                    }
+                )
 
     return (
         embeddings.select(id_col, vec_col)
@@ -151,6 +168,14 @@ def cosine_topk_blocked(
     ever collected to the driver; per-task memory is bounded by the block
     sizes, tunable independently of corpus size."""
     Bq, Bc = n_query_blocks, n_corpus_blocks
+    # CRITICAL: both grouping keys must be LONG on BOTH sides.  pmod(xxhash64)
+    # is long but explode(sequence(int,int)) is int; cogroup with per-position
+    # key types (long,int) vs (int,long) compares equal inside a partition
+    # (UnsafeRow stores both in 8-byte slots) yet ROUTES by murmur3, which
+    # hashes int and long differently — so group alignment silently became
+    # partition-layout-dependent: exact at driver/test scale, dropping ~7/8
+    # of all (qb,cb) pairs on the 8-file 20k-row bench corpus (measured:
+    # 20/64 groups matched, AQE on or off; 64/64 with unified types).
     q = (
         embeddings.select(
             F.col(id_col).alias("qid"),
@@ -158,6 +183,7 @@ def cosine_topk_blocked(
             F.pmod(F.xxhash64(id_col), F.lit(Bq)).alias("qb"),
         )
         .withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(Bc - 1))))
+        .withColumn("cb", F.col("cb").cast("long"))
     )
     c = (
         embeddings.select(
@@ -166,6 +192,7 @@ def cosine_topk_blocked(
             F.pmod(F.xxhash64(id_col), F.lit(Bc)).alias("cb"),
         )
         .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(Bq - 1))))
+        .withColumn("qb", F.col("qb").cast("long"))
     )
 
     part_schema = T.StructType(
@@ -396,29 +423,44 @@ def cosine_dup_pairs(
 
         def part(it):
             nids, Mn = bc.value
+            chunk = max(4, _ANN_CHUNK_ELEMS // max(len(nids), 1))
             for pdf in it:
                 Q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 qn = np.linalg.norm(Q, axis=1)
                 qn[qn == 0] = 1.0
-                S = (Q / qn[:, None]) @ Mn.T
-                qids = pdf[id_col].to_numpy()
-                qi, ci = np.nonzero((S >= threshold) & (qids[:, None] < nids[None, :]))
-                yield pd.DataFrame({"a": qids[qi], "b": nids[ci]})
+                Qn = Q / qn[:, None]
+                all_qids = pdf[id_col].to_numpy()
+                for i in range(0, len(all_qids), chunk):
+                    sl = slice(i, i + chunk)
+                    S = Qn[sl] @ Mn.T
+                    qids = all_qids[sl]
+                    qi, ci = np.nonzero((S >= threshold) & (qids[:, None] < nids[None, :]))
+                    yield pd.DataFrame({"a": qids[qi], "b": nids[ci]})
 
         return embeddings.select(id_col, vec_col).mapInPandas(part, _PAIR_SCHEMA)
 
-    # distributed: block-nested-loop over (query-block × corpus-block)
+    # distributed: block-nested-loop over (query-block × corpus-block).
+    # Grouping keys cast to LONG on both sides — see cosine_topk_blocked for
+    # the mixed-type cogroup misalignment this prevents.
     Bq, Bc = n_query_blocks, n_corpus_blocks
-    q = embeddings.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        F.pmod(F.xxhash64(id_col), F.lit(Bq)).alias("qb"),
-    ).withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(Bc - 1))))
-    c = embeddings.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nv"),
-        F.pmod(F.xxhash64(id_col), F.lit(Bc)).alias("cb"),
-    ).withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(Bq - 1))))
+    q = (
+        embeddings.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.pmod(F.xxhash64(id_col), F.lit(Bq)).alias("qb"),
+        )
+        .withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(Bc - 1))))
+        .withColumn("cb", F.col("cb").cast("long"))
+    )
+    c = (
+        embeddings.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            F.pmod(F.xxhash64(id_col), F.lit(Bc)).alias("cb"),
+        )
+        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(Bq - 1))))
+        .withColumn("qb", F.col("qb").cast("long"))
+    )
 
     def block_pairs(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0 or len(right) == 0:

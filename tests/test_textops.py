@@ -328,6 +328,32 @@ class TestANN:
         assert set(zip(brute["a"], brute["b"])) == set(zip(blocked["a"], blocked["b"]))
         assert len(brute) == len(brute.drop_duplicates())  # each pair exactly once
 
+    def test_blocked_topk_complete_on_wide_ids_multi_partition(self, spark):
+        """Regression: the blocked cogroup's per-position key types must be
+        identical on both sides.  With (long,int) vs (int,long) keys the
+        groups compare equal inside a partition (UnsafeRow 8-byte slots) but
+        murmur3 ROUTES int and long differently, so group alignment became
+        partition-layout-dependent — exact at small scale while silently
+        dropping ~7/8 of the (qb,cb) pairs on the 8-file 20k-row bench
+        replica (whole queries vanished from the output).  This pins the
+        visible contract on a replica-shaped corpus: every query present,
+        exactly k rows each, equal to the brute answer."""
+        from libosmtools_spark.sim.ann import cosine_topk_blocked, cosine_topk_brute
+
+        rng = np.random.default_rng(11)
+        X = rng.normal(size=(1600, 16))
+        # x10-replica id shape: replica stride 2^32, 8 input partitions
+        rows = [
+            (int((i % 8) * (1 << 32) + i // 8), v.tolist()) for i, v in enumerate(X)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(8)
+        blocked = cosine_topk_blocked(emb, k=3).toPandas()
+        brute = cosine_topk_brute(emb, k=3, _count_checked=True).toPandas()
+        assert len(blocked) == 1600 * 3
+        assert blocked["vec_id"].nunique() == 1600
+        key = ["vec_id", "neighbor_id", "rank"]
+        assert set(map(tuple, blocked[key].to_numpy())) == set(map(tuple, brute[key].to_numpy()))
+
     def test_cosine_dup_lsh_recall(self, spark):
         """LSH near-dup path: recall >= 0.95 on planted duplicates."""
         from libosmtools_spark.sim.ann import cosine_dup_pairs_lsh
