@@ -424,6 +424,19 @@ if not os.path.exists(inflated):
 pages = spark.read.parquet(inflated)
 eng = bench.build_engine(spark, fixtures)
 eng.candidates_bcast  # index build outside the timer (distribution cost)
+# report the one remaining driver-side build cost of the plan of record
+# SEPARATELY, on the COMPLEX (800-vertex, 15-deep-overlap) region store's
+# adaptive index — region-batched vectorized clip, no per-boundary-cell
+# Python (the flagship engine above stays on the fixtures store so
+# x10_pages_per_sec remains comparable across rounds)
+import time as _time
+from libosmtools_spark.joins.mapjoin import build_cell_candidates
+cx = bench.build_engine(spark, fixtures, complex_regions=True)
+cx_pdf = cx.cell_index.toPandas()
+t0 = _time.monotonic()
+build_cell_candidates(cx_pdf, cx.rings_bcast.value)
+index_build_sec = _time.monotonic() - t0
+n_boundary = int((~cx_pdf["full"]).sum())
 fs = bench.Timed()
 n10 = 0
 for _ in range(2):
@@ -432,6 +445,8 @@ print(json.dumps({
     "walls": walls, "cpus": cpus_, "floors": floors,
     "flagship_sec": round(fs.wall, 3), "flagship_cpu_sec": round(fs.cpu, 3),
     "n_pages": n10,
+    "index_build_sec": round(index_build_sec, 3),
+    "index_boundary_cells": n_boundary,
 }))
 spark.stop()
 """
@@ -471,6 +486,8 @@ def x10_section(fixtures: str, base_walls: dict) -> dict:
             "flagship_sec": rec["flagship_sec"],
             "flagship_cpu_sec": rec["flagship_cpu_sec"],
             "flagship_n_pages": rec["n_pages"],
+            "index_build_sec": rec.get("index_build_sec"),
+            "index_boundary_cells": rec.get("index_boundary_cells"),
             "scale_ratio": {
                 n: round(walls10[n] / base_walls[n], 2)
                 for n in walls10

@@ -82,34 +82,65 @@ def build_cell_candidates(cell_index_pdf: pd.DataFrame, rings: dict | None = Non
         np.bitwise_or.at(full_masks, (grp_idx[frows], sword[frows]), sbit[frows])
         part_payload: list = [None] * len(uniq)
         has_part = np.zeros(len(uniq), dtype=bool)
-        for row in np.flatnonzero(~sfull):
-            g = grp_idx[row]
-            r = int(srid[row])
-            cl, elo, ehi = None, -180.0, 180.0
+        prows = np.flatnonzero(~sfull)
+        if len(prows):
+            p_g = grp_idx[prows]  # unique-cell index per partial row
+            p_r = srid[prows]  # owning region per partial row
+            # per-row (clipped_edges, lon_lo, lon_hi), clipped REGION-AT-A-
+            # TIME: the old per-row loop re-ran cell_bounds / frame shift /
+            # a full O(region edges) comparison per boundary cell in Python
+            # — O(boundary cells) interpreter iterations that became the one
+            # driver-side scale cliff of the plan of record.  Here each
+            # region does ONE vectorized bounds+frame pass over all its
+            # cells and a chunked 2-D (cells × edges) clip mask; the only
+            # per-cell step left is the boolean-index edge extraction.
+            clipped: list = [None] * len(prows)
             if rings is not None:
-                cached = region_edges.get(r)
-                if cached is None:
-                    outers, inners = rings[r]
-                    arr = np.vstack(
-                        [K.ring_edges(rr) for rr in list(outers) + list(inners)]
+                for r in np.unique(p_r):
+                    cached = region_edges.get(int(r))
+                    if cached is None:
+                        outers, inners = rings[int(r)]
+                        arr = np.vstack(
+                            [K.ring_edges(rr) for rr in list(outers) + list(inners)]
+                        )
+                        ylo = np.minimum(arr[:, 0], arr[:, 2])
+                        yhi = np.maximum(arr[:, 0], arr[:, 2])
+                        emax = np.maximum(arr[:, 1], arr[:, 3])
+                        elo = float(min(arr[:, 1].min(), arr[:, 3].min()))
+                        ehi = float(max(arr[:, 1].max(), arr[:, 3].max()))
+                        cached = region_edges[int(r)] = (arr, ylo, yhi, emax, elo, ehi)
+                    arr, ylo, yhi, emax, elo, ehi = cached
+                    rows_r = np.flatnonzero(p_r == r)
+                    min_lat, max_lat, min_lon, max_lon = K.cell_bounds(
+                        uniq[p_g[rows_r]].astype(np.int64)
                     )
-                    elo = float(min(arr[:, 1].min(), arr[:, 3].min()))
-                    ehi = float(max(arr[:, 1].max(), arr[:, 3].max()))
-                    cached = region_edges[r] = (arr, elo, ehi)
-                arr, elo, ehi = cached
-                min_lat, max_lat, min_lon, max_lon = K.cell_bounds(np.int64(uniq[g]))
-                # shift the cell's lon window into the region's continuous
-                # frame (antimeridian-wrapped regions store lons past ±180;
-                # identity — shift 0.0 — for everything else)
-                c = (float(min_lon) + float(max_lon)) / 2.0
-                cw = float(np.asarray(K.wrap_lons_to_frame(np.array([c]), elo, ehi))[0])
-                cl = K.clip_edges_for_cell(
-                    arr, float(min_lat), float(max_lat), float(min_lon) + (cw - c)
-                )
-            if part_payload[g] is None:
-                part_payload[g] = []
-            part_payload[g].append((r, cl, elo, ehi))
-            has_part[g] = True
+                    # shift each cell's lon window into the region's
+                    # continuous frame (antimeridian-wrapped regions store
+                    # lons past ±180; identity — shift +0.0 — otherwise)
+                    c = (min_lon + max_lon) / 2.0
+                    cw = np.asarray(K.wrap_lons_to_frame(c, elo, ehi), dtype=np.float64)
+                    sh_min_lon = min_lon + (cw - c)
+                    # chunked (cells × edges) keep mask — same predicate as
+                    # clip_edges_for_cell, evaluated for all cells at once
+                    step = max(1, 4_000_000 // max(len(arr), 1))
+                    for s in range(0, len(rows_r), step):
+                        ch = slice(s, s + step)
+                        keep2d = (
+                            (yhi[None, :] > min_lat[ch, None])
+                            & (ylo[None, :] <= max_lat[ch, None])
+                            & (emax[None, :] >= sh_min_lon[ch, None])
+                        )
+                        for j, row_i in enumerate(rows_r[ch]):
+                            clipped[row_i] = (arr[keep2d[j]], elo, ehi)
+            # assemble per-cell payload lists in the original (key-sorted,
+            # stable) row order — identical ordering to the old loop
+            for i, row in enumerate(prows):
+                g = p_g[i]
+                cl, elo, ehi = clipped[i] if clipped[i] is not None else (None, -180.0, 180.0)
+                if part_payload[g] is None:
+                    part_payload[g] = []
+                part_payload[g].append((int(p_r[i]), cl, elo, ehi))
+                has_part[g] = True
         levels[int(lv)] = (uniq, full_masks, part_payload, has_part)
     return {"n_regions": n_regions, "n_words": n_words, "levels": levels}
 
