@@ -2,10 +2,12 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.  The
 Spark-side machinery — schemas, Arrow batch shapes, partition-aware
-mapInPandas — is real and tested; the actual codec step is stubbed behind
-``DecodeUnavailable`` (no image/audio libs in this container) with a
-deterministic fake used by tests (documented; swap ``_decode_stub`` for a
-real decoder on a cluster image that ships one).
+mapInPandas — is real and tested.  The real-decoder slot handles binary
+netpbm (P5/P6) and uncompressed 24-bit BMP end-to-end in pure numpy (no
+codec libs needed), takes Pillow for every other image format when a
+cluster image ships it, and raises ``DecodeUnavailable`` otherwise — at
+which point callers fall back to the documented deterministic stub (so the
+pipeline stays shape-testable on codec-less containers).
 """
 
 from __future__ import annotations
@@ -54,20 +56,103 @@ def _pil():
         return None
 
 
+def _luma_bt601(rgb: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB → (h, w) uint8 luma by integer BT.601
+    ((77R + 150G + 29B) >> 8) — deterministic integer math, no float
+    rounding to vary across platforms."""
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((77 * r + 150 * g + 29 * b) >> 8).astype(np.uint8)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for binary netpbm images — P5 (PGM grayscale)
+    and P6 (PPM RGB), 8-bit maxval.  Returns a (h, w) uint8 luma plane.
+    Full format: magic, whitespace/#-comment-separated width/height/maxval
+    header, single whitespace byte, then raw samples."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise DecodeUnavailable(f"not a binary netpbm payload: {magic!r}")
+    # tokenize the header: fields separated by whitespace, '#' starts a
+    # comment running to end-of-line
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise DecodeUnavailable("16-bit netpbm not supported by the numpy codec")
+    ch = 3 if magic == b"P6" else 1
+    raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+    if ch == 1:
+        return raw.reshape(h, w).copy()
+    return _luma_bt601(raw.reshape(h, w, 3))
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed 24-bit BI_RGB Windows bitmaps
+    (BITMAPINFOHEADER).  Returns a (h, w) uint8 luma plane.  Rows are
+    stored bottom-up (positive height), BGR order, stride padded to 4
+    bytes — all handled."""
+    if payload[:2] != b"BM":
+        raise DecodeUnavailable("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise DecodeUnavailable(f"unsupported BMP header size {hdr_size}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise DecodeUnavailable(
+            f"numpy BMP codec handles 24-bit BI_RGB only (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    bgr = rows  # BMP stores blue first
+    rgb = bgr[..., ::-1]
+    return _luma_bt601(rgb)
+
+
 def real_decode(payload: bytes, mime: str) -> np.ndarray:
-    """The production decoder slot: with Pillow installed, decodes image
-    payloads to a grayscale uint8 array; otherwise raises DecodeUnavailable
-    (callers fall back to the documented deterministic stub)."""
+    """The production decoder slot: with Pillow installed, decodes any
+    image payload to a grayscale uint8 array; without it, the pure-numpy
+    in-sandbox codecs handle binary netpbm (P5/P6) and uncompressed 24-bit
+    BMP end-to-end (format sniffed from magic bytes — mime strings lie).
+    Everything else raises DecodeUnavailable (callers fall back to the
+    documented deterministic stub)."""
     Image = _pil()
     if Image is not None and (mime or "").startswith("image/"):
         import io
 
         img = Image.open(io.BytesIO(payload)).convert("L")
         return np.asarray(img, dtype=np.uint8)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise DecodeUnavailable(
-        "image/audio codecs are not installed in this environment; "
-        "install Pillow (images) / torchaudio / ffmpeg on the cluster image "
-        "for the real path — the deterministic stub keeps the pipeline "
+        "no codec for this payload: Pillow is not installed and the magic "
+        "bytes match neither netpbm (P5/P6) nor 24-bit BMP — install "
+        "Pillow (images) / torchaudio / ffmpeg on the cluster image for "
+        "the full real path; the deterministic stub keeps the pipeline "
         "shape-testable without them"
     )
 

@@ -440,6 +440,96 @@ class TestMultimodal:
         with pytest.raises(M.DecodeUnavailable):
             M.real_decode(b"xx", "audio/wav")
 
+    @staticmethod
+    def _encode_ppm(rgb: "np.ndarray") -> bytes:
+        h, w, _ = rgb.shape
+        return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
+
+    @staticmethod
+    def _encode_pgm(gray: "np.ndarray") -> bytes:
+        h, w = gray.shape
+        return b"P5 %d %d 255\n" % (w, h) + gray.astype(np.uint8).tobytes()
+
+    @staticmethod
+    def _encode_bmp24(rgb: "np.ndarray") -> bytes:
+        """Minimal uncompressed 24-bit BI_RGB bottom-up BMP writer (test
+        fixture generator — independent of the decoder under test)."""
+        h, w, _ = rgb.shape
+        stride = ((w * 3 + 3) // 4) * 4
+        img = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = rgb[y, :, ::-1].astype(np.uint8).tobytes()  # BGR
+            img += row + b"\x00" * (stride - len(row))
+        data_off = 14 + 40
+        file_size = data_off + len(img)
+        hdr = b"BM" + file_size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        hdr += data_off.to_bytes(4, "little")
+        info = (40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+        info += h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        info += (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        info += len(img).to_bytes(4, "little") + b"\x00" * 16
+        return bytes(hdr + info + img)
+
+    def test_numpy_codecs_decode_real_formats(self):
+        """The in-sandbox real path: netpbm P5/P6 and 24-bit BMP decode
+        end-to-end in pure numpy, matching the source plane exactly
+        (integer BT.601 luma for the RGB formats)."""
+        from libosmtools_spark.mm.multimodal import decode_bmp, decode_ppm, real_decode
+
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)  # odd w: BMP padding
+        luma = (
+            (77 * rgb[..., 0].astype(np.uint32)
+             + 150 * rgb[..., 1].astype(np.uint32)
+             + 29 * rgb[..., 2].astype(np.uint32)) >> 8
+        ).astype(np.uint8)
+        np.testing.assert_array_equal(decode_ppm(self._encode_ppm(rgb)), luma)
+        np.testing.assert_array_equal(decode_bmp(self._encode_bmp24(rgb)), luma)
+        gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_ppm(self._encode_pgm(gray)), gray)
+        # real_decode sniffs magic bytes, mime not required to be truthful
+        np.testing.assert_array_equal(real_decode(self._encode_ppm(rgb), "application/octet-stream"), luma)
+        np.testing.assert_array_equal(real_decode(self._encode_bmp24(rgb), None), luma)
+
+    def test_real_decode_features_end_to_end(self, spark):
+        """extract_features(use_stub=False) over a media table of actual
+        PPM/BMP payloads: the NON-stub branch decodes and features real
+        formats in this container (ok=True), while an undecodable payload
+        degrades to ok=False instead of failing the job."""
+        from libosmtools_spark.mm.multimodal import extract_features
+
+        rng = np.random.default_rng(6)
+        rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        gray = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        rows = [
+            (1, "image", self._encode_ppm(rgb), "image/x-portable-pixmap", None, None),
+            (2, "image", self._encode_bmp24(rgb), "image/bmp", None, None),
+            (3, "image", self._encode_pgm(gray), "image/x-portable-graymap", None, None),
+            (4, "image", b"\x89PNG not really", "image/png", None, None),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, mime string, width int, height int",
+        )
+        out = (
+            extract_features(media, use_stub=False)
+            .toPandas()
+            .sort_values("media_id")
+            .reset_index(drop=True)
+        )
+        assert out["ok"].tolist() == [True, True, True, False]
+        # expected feature: L1-normalized 8-bin histogram of the luma plane
+        luma = (
+            (77 * rgb[..., 0].astype(np.uint32)
+             + 150 * rgb[..., 1].astype(np.uint32)
+             + 29 * rgb[..., 2].astype(np.uint32)) >> 8
+        ).astype(np.uint8)
+        hist, _ = np.histogram(luma, bins=8, range=(0, 256))
+        want = (hist / hist.sum()).astype(np.float32)
+        np.testing.assert_allclose(np.array(out.loc[0, "feat"], dtype=np.float32), want, rtol=1e-6)
+        # PPM and BMP encode the same pixels -> identical features
+        assert list(out.loc[0, "feat"]) == list(out.loc[1, "feat"])
+
     def test_resize_plumbing(self, spark, sf_smoke):
         from libosmtools_spark.mm.multimodal import pages_html_media, resize_media
 
