@@ -1837,16 +1837,23 @@ def oracle_sql() -> dict[str, str]:
         # running the engine — name-sorted (engine sorts nulls first; the
         # query coalesces null names to '' which sorts identically), ties
         # by (source, orig_id), dense re-rank, old id retained
+        # sort-by-name reassignment over the reference-parity extraction
+        # output: NULL names first (Spark asc default), ties by
+        # (source, orig_id); old_region_id = the (source, orig_id)-dense id
         "region_sort": """
             SELECT * FROM (VALUES
               (0, 1, 'relation', CAST(201 AS BIGINT), ''),
               (1, 2, 'relation', CAST(203 AS BIGINT), ''),
               (2, 3, 'relation', CAST(205 AS BIGINT), ''),
               (3, 4, 'relation', CAST(206 AS BIGINT), ''),
-              (4, 6, 'way', CAST(105 AS BIGINT), ''),
-              (5, 7, 'way', CAST(106 AS BIGINT), ''),
-              (6, 0, 'relation', CAST(200 AS BIGINT), 'mp'),
-              (7, 5, 'way', CAST(100 AS BIGINT), 'sq')
+              (4, 7, 'way', CAST(105 AS BIGINT), ''),
+              (5, 8, 'way', CAST(106 AS BIGINT), ''),
+              (6, 9, 'way', CAST(107 AS BIGINT), ''),
+              (7, 10, 'way', CAST(109 AS BIGINT), ''),
+              (8, 11, 'way', CAST(110 AS BIGINT), ''),
+              (9, 5, 'relation', CAST(207 AS BIGINT), 'bare-boundary'),
+              (10, 0, 'relation', CAST(200 AS BIGINT), 'mp'),
+              (11, 6, 'way', CAST(100 AS BIGINT), 'sq')
             ) t(region_id, old_region_id, source, orig_id, name)
         """,
         "knn": f"""
