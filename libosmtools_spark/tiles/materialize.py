@@ -315,6 +315,97 @@ def cell_graph_diameter(
     )
 
 
+def cell_graph_diameter_endpoints(
+    dual_edges: DataFrame, exact_cutoff: int | None = None
+) -> DataFrame:
+    """T7 parity detail: the reference's ``calcDiameter(startNode, endNode)``
+    reports the argmax ENDPOINTS, not just the hop count
+    (/root/reference/include/osmtools/OsmTriangulationRegionStore.h:83).
+
+    Exact dimension-scale path (the dual graph is interned-cell-scale by
+    construction): all-pairs BFS with a PINNED tie rule — among every pair
+    at max eccentricity, return the lexicographically smallest
+    ``(endpoint_a, endpoint_b)`` with ``endpoint_a < endpoint_b`` (the
+    reference's first-found pair depends on thread interleaving; a
+    deterministic rule is the Spark-reproducibility analog).  Graphs past
+    ``LOCAL_BFS_MAX_EDGES`` degrade to the seeded double-sweep: endpoints of
+    the best sweep found (a lower-bound witness pair — the same
+    approximation posture as the reference past its cutoff)."""
+    from libosmtools_spark.cells.hopsplit import (
+        APPROX_DIAMETER_RUNS,
+        EXACT_DIAMETER_PRACTICAL,
+        _bfs,
+    )
+
+    if exact_cutoff is None:
+        exact_cutoff = EXACT_DIAMETER_PRACTICAL
+    spark = dual_edges.sparkSession
+    schema = (
+        "n_nodes long, n_edges long, diameter long, endpoint_a long, endpoint_b long"
+    )
+    edges = dual_edges.select("cell_id_a", "cell_id_b")
+    pdf = edges.limit(LOCAL_BFS_MAX_EDGES + 1).toPandas()
+    if len(pdf) > LOCAL_BFS_MAX_EDGES:
+        # distributed double-sweep witness pair (deterministic seed rule
+        # shared with cell_graph_diameter's loop path)
+        nodes_df = (
+            edges.select(F.col("cell_id_a").alias("cell_id"))
+            .unionByName(edges.select(F.col("cell_id_b").alias("cell_id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_nodes, n_edges = nodes_df.count(), edges.count()
+        seed_rows = (
+            nodes_df.orderBy(F.xxhash64("cell_id"), F.col("cell_id"))
+            .limit(APPROX_DIAMETER_RUNS)
+            .collect()
+        )
+        release_local_checkpoint(nodes_df)
+        best = (0, 0, 0)  # (diam, a, b)
+        for row in seed_rows:
+            d1 = cell_hop_distances(edges, int(row.cell_id), algo="loop")
+            far = d1.orderBy(F.desc("hop"), F.asc("cell_id")).limit(1).collect()[0]
+            release_local_checkpoint(d1)
+            d2 = cell_hop_distances(edges, int(far.cell_id), algo="loop")
+            far2 = d2.orderBy(F.desc("hop"), F.asc("cell_id")).limit(1).collect()[0]
+            release_local_checkpoint(d2)
+            u, v = sorted((int(far.cell_id), int(far2.cell_id)))
+            cand = (int(far2.hop), u, v)
+            if cand[0] > best[0] or (cand[0] == best[0] and cand[1:] < best[1:]):
+                best = cand
+        return spark.createDataFrame(
+            [(int(n_nodes), int(n_edges), best[0], best[1], best[2])], schema
+        )
+    a = pdf["cell_id_a"].to_numpy(dtype=np.int64)
+    b = pdf["cell_id_b"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    if len(nodes) == 0:
+        return spark.createDataFrame([(0, 0, 0, 0, 0)], schema)
+    ai = np.searchsorted(nodes, a)
+    bi = np.searchsorted(nodes, b)
+    src = np.concatenate([ai, bi])
+    dst = np.concatenate([bi, ai])
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    starts = np.searchsorted(src_s, np.arange(len(nodes) + 1))
+    adj = [dst_s[starts[i]: starts[i + 1]] for i in range(len(nodes))]
+    diam, ea, eb = 0, int(nodes[0]), int(nodes[0])
+    for s in range(len(adj)):
+        d = _bfs(adj, s)
+        ecc = int(d.max())
+        if ecc < diam:
+            continue
+        # all argmax partners of s at this eccentricity; pin the smallest
+        # sorted (a, b) pair among ties
+        for t in np.flatnonzero(d == ecc):
+            u, v = sorted((int(nodes[s]), int(nodes[t])))
+            if ecc > diam or (u, v) < (ea, eb):
+                diam, ea, eb = ecc, u, v
+    return spark.createDataFrame(
+        [(int(len(nodes)), int(len(pdf)), diam, ea, eb)], schema
+    )
+
+
 def cell_sizes(point_cells: DataFrame) -> DataFrame:
     """T10: per-cell point count + representative (first point id seen —
     deterministic: min id).  (/root/reference/src/OsmTriangulationRegionStore.cpp:280-292)."""

@@ -462,3 +462,51 @@ class TestCellGraphDiameter:
         edges = spark.createDataFrame([], "cell_id_a long, cell_id_b long")
         row = cell_graph_diameter(edges, algo="loop").collect()[0]
         assert (row["n_nodes"], row["n_edges"], row["diameter"]) == (0, 0, 0)
+
+
+class TestDiameterEndpoints:
+    """calcDiameter(startNode, endNode) parity — the reference reports the
+    argmax ENDPOINTS (include/osmtools/OsmTriangulationRegionStore.h:83);
+    the repo pins a deterministic tie rule (lexicographically smallest
+    sorted pair among all max-eccentricity pairs)."""
+
+    def test_exact_path_and_tie_rule(self, spark):
+        from libosmtools_spark.tiles.materialize import cell_graph_diameter_endpoints
+
+        # path 1-2-3-4 plus a pendant 5 off node 2: eccentricity-3 pairs are
+        # (1,4) and (4,5); the tie rule picks (1,4)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (2, 5)], "cell_id_a long, cell_id_b long"
+        )
+        row = cell_graph_diameter_endpoints(edges).collect()[0]
+        assert (row["n_nodes"], row["n_edges"], row["diameter"]) == (5, 4, 3)
+        assert (row["endpoint_a"], row["endpoint_b"]) == (1, 4)
+
+    def test_endpoints_match_diameter_query(self, spark):
+        """Endpoint variant agrees with cell_graph_diameter's hop count on a
+        two-component graph; endpoints land in the larger component."""
+        from libosmtools_spark.tiles.materialize import (
+            cell_graph_diameter,
+            cell_graph_diameter_endpoints,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "cell_id_a long, cell_id_b long"
+        )
+        d = cell_graph_diameter(edges).collect()[0]["diameter"]
+        row = cell_graph_diameter_endpoints(edges).collect()[0]
+        assert row["diameter"] == d == 3
+        assert (row["endpoint_a"], row["endpoint_b"]) == (1, 4)
+
+    def test_loop_path_witness_pair(self, spark, monkeypatch):
+        """Past LOCAL_BFS_MAX_EDGES the distributed double-sweep reports the
+        best sweep's witness pair — exact on a path graph (tree)."""
+        from libosmtools_spark.tiles import materialize as M
+
+        monkeypatch.setattr(M, "LOCAL_BFS_MAX_EDGES", 2)
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 8)], "cell_id_a long, cell_id_b long"
+        )
+        row = M.cell_graph_diameter_endpoints(edges).collect()[0]
+        assert row["diameter"] == 7
+        assert (row["endpoint_a"], row["endpoint_b"]) == (1, 8)
