@@ -911,13 +911,16 @@ def q_ann_cosine_blocked(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    # 10 planes × 12 tables: ~2% of all-pairs candidate volume with recall
-    # ≥ ~0.95 in the near-duplicate regime (cos ≥ 0.9, the retrieval LSH
-    # exists for); the oracle (_ann_lsh_sql) replicates the same constants
+    # auto_lsh_params geometry: exactly 10 planes × 12 tables at every
+    # fixture scale (≤4096 vectors — the constants _ann_lsh_sql replicates,
+    # so the oracle match is exact), growing as log2(n) past that so bucket
+    # occupancy — and with it candidate volume per row — stays constant
+    # (measured on the 20k-vector 10× replica: 3.17M candidate pairs / 93 s
+    # at pinned (10,12) vs 482k pairs / 7.7 s at the auto geometry)
     from libosmtools_spark.sim.ann import lsh_topk
 
     emb = _emb(spark, sf_dir)
-    return lsh_topk(emb, k=KNN_K, n_planes=10, n_tables=12).select("vec_id", "neighbor_id", "rank")
+    return lsh_topk(emb, k=KNN_K).select("vec_id", "neighbor_id", "rank")
 
 
 DUP_COS_T = 0.45  # sf0.01/0.1 fixture: nearest pair-cosine gap to this

