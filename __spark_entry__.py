@@ -838,6 +838,31 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fp["fp_md5"].alias("fp_md5"), fp["fp_len"].alias("fp_len"))
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML→text extraction round-trip (the input_hint's byte-identical
+    invariant as an oracled query): wrap each document's text into a
+    Common-Crawl-style html binary (entity-escape THEN tag-wrap — the
+    synthesizer's page shape), extract with text.analysis.html_text_col,
+    and emit the extraction's md5 plus the byte-identity flag.  A correct
+    extractor makes ``matches`` true on every row for ARBITRARY text —
+    escape∘extract is the identity, not just on tag-free strings."""
+    from libosmtools_spark.text.analysis import html_text_col
+
+    docs = _docs(spark, sf_dir)
+    esc = F.col("text")
+    # escape order is the inverse of the decoder's: & FIRST
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">")):
+        esc = F.replace(esc, F.lit(ch), F.lit(ent))
+    html = F.encode(
+        F.concat(F.lit("<html><body><p>"), esc, F.lit("</p></body></html>")), "UTF-8"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(html_text_col(html), "UTF-8")).alias("extracted_md5"),
+        (html_text_col(html) == F.col("text")).alias("matches"),
+    )
+
+
 def q_bpe_token_count(spark, sf_dir):
     """Sub-word-style token counting (BPE-ish pre-tokenizer regex)."""
     from libosmtools_spark.text.analysis import bpe_token_count_col
@@ -1502,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_criteria_diag": q_split_criteria_diag,  # twin: split_criteria
         "simhash": q_simhash,  # fingerprint column recomputed inside simhash_pairs
         "flagship_antimeridian": q_flagship_antimeridian,  # flagship_map + pip_antimeridian
+        "html_extract": q_html_extract,  # input_hint byte-identity invariant, oracled
     }
     return {name: _wrap(fn) for name, fn in raw.items()}
 
@@ -1929,6 +1955,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {lang_case} AS pred_lang FROM padded
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp_md5, length(text) AS fp_len FROM documents",
+        # same escape → wrap → tag-strip → ordered-unescape chain as
+        # q_html_extract (entity decode order: lt, gt, quot, #39, amp LAST)
+        "html_extract": """
+            WITH esc AS (
+              SELECT doc_id, text,
+                replace(replace(replace(text, '&', '&amp;'),
+                        '<', '&lt;'), '>', '&gt;') AS e
+              FROM documents
+            ), ext AS (
+              SELECT doc_id, text,
+                replace(replace(replace(replace(replace(
+                  regexp_replace('<html><body><p>' || e || '</p></body></html>',
+                                 '<[^>]*>', '', 'g'),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&amp;', '&') AS x
+              FROM esc
+            )
+            SELECT doc_id, md5(x) AS extracted_md5, (x = text) AS matches FROM ext
+        """,
         "bpe_token_count": _BPE_SQL,
         "winnow": _WINNOW_SQL,
         "dedup_exact": """

@@ -162,6 +162,18 @@ class SpatialEngine:
         )
 
 
+def pages_from_html(pages: DataFrame) -> DataFrame:
+    """pages with ``text`` re-derived by EXTRACTION from the ``html``
+    binary column instead of trusting the stored text — the input source
+    the north-star actually describes (geocode pages from extracted page
+    text).  Composable with every SpatialEngine method; the byte-identical
+    invariant says the flagship over this frame equals the flagship over
+    the original, which tests assert against the goldens."""
+    from libosmtools_spark.text.analysis import html_text_col
+
+    return pages.withColumn("text", html_text_col(F.col("html")))
+
+
 def run_flagship(spark: SparkSession, fixtures_dir: str, level: int = DEFAULT_LEVEL) -> DataFrame:
     """pages → (url, cell_key, cell_id, region_ids)."""
     pages = spark.read.parquet(os.path.join(fixtures_dir, "pages.parquet"))

@@ -26,6 +26,36 @@ LANG_MARKERS = {
 LANG_ORDER = ("en", "de", "es", "fr", "pt")
 
 
+#: XML entity decode table, applied in this order — ``&amp;`` LAST, so a
+#: double-escaped ``&amp;lt;`` decodes to the literal ``&lt;`` (one level),
+#: never to ``<`` (two levels)
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_text_col(html: Column) -> Column:
+    """Extracted text from a Common-Crawl-style ``html`` binary payload —
+    the operator behind the input_hint's "byte-identical extracted text per
+    url" invariant: over the supported markup subset (element tags plus the
+    five XML entities — the synthesizer's CC-style page shape), extraction
+    reproduces the page's reference text byte for byte, asserted end-to-end
+    in tests against the flagship goldens.
+
+    Pure JVM Columns (UTF-8 decode → tag-strip regexp → ordered entity
+    unescape): whole-stage codegen, no Python, and every step has an exact
+    ANSI-SQL twin (decode/regexp_replace/replace) for the DuckDB oracle."""
+    s = F.decode(html, "UTF-8")
+    s = F.regexp_replace(s, r"<[^>]*>", "")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return s
+
+
 def token_count_col(text: Column) -> Column:
     """Whitespace token count.  ``split(trim(x), '\\s+')`` of an empty
     string yields [''] (count 1) in both Spark and DuckDB — documented

@@ -84,6 +84,28 @@ class TestPageRegionsParity:
         )
         assert diff.count() == 0
 
+    def test_flagship_from_html_extraction(self, engine, pages):
+        """The north-star's actual input path: geocode pages from text
+        EXTRACTED from the html binary.  Extraction must be byte-identical
+        to the stored text on every row, and the join output over the
+        html-derived frame must equal the join output over the original."""
+        from libosmtools_spark.pipeline import pages_from_html
+
+        extracted = pages_from_html(pages)
+        bad = (
+            extracted.select("url", "text")
+            .join(pages.select("url", F.col("text").alias("t0")), "url")
+            .filter(F.col("text") != F.col("t0"))
+        )
+        assert bad.count() == 0
+        a = engine.page_regions(extracted).withColumn(
+            "region_ids", F.col("region_ids").cast("array<long>")
+        )
+        b = engine.page_regions(pages).withColumn(
+            "region_ids", F.col("region_ids").cast("array<long>")
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
 
 class TestCellsParity:
     def test_cells_dictionary_matches_golden(self, engine, pages, sf_smoke, spark):

@@ -44,6 +44,44 @@ class TestTextAnalysis:
         m = got.merge(want, on="doc_id", suffixes=("_s", "_d"))
         assert (m["fp_md5_s"] == m["fp_md5_d"]).all()
 
+    def test_html_text_col_extraction(self, spark):
+        """Tag-strip + ordered entity decode: arbitrary adversarial texts
+        round-trip byte-identically through escape -> wrap -> extract,
+        including double-escaped entities and lone angle brackets."""
+        from libosmtools_spark.text.analysis import html_text_col
+
+        texts = [
+            "plain words only",
+            "math: 1 < 2 & 3 > 2",
+            "literal entity &lt; stays one level",
+            "quotes ' and \" survive",
+            "unicode café — ok",
+            "",
+        ]
+
+        def esc(t):
+            return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+        rows = [
+            (i, t, f"<html><body><p>{esc(t)}</p></body></html>".encode())
+            for i, t in enumerate(texts)
+        ]
+        df = spark.createDataFrame(rows, "i long, text string, html binary")
+        out = df.select("text", html_text_col(F.col("html")).alias("x")).toPandas()
+        assert (out["text"] == out["x"]).all(), out
+        # decode is one level only: "&amp;lt;" -> "&lt;", never "<"
+        one = spark.createDataFrame(
+            [(b"<p>&amp;lt;</p>",)], "html binary"
+        ).select(html_text_col(F.col("html")).alias("x")).collect()[0]["x"]
+        assert one == "&lt;", one
+
+    def test_html_extract_query_all_match(self, spark):
+        """Registry query contract: matches=true on every documents row."""
+        import __spark_entry__ as entry
+
+        out = entry.queries()["html_extract"](spark, TESTDATA).toPandas()
+        assert out["matches"].all() and len(out) == 500
+
     def test_token_count_matches_duckdb(self, docs):
         import duckdb
 
