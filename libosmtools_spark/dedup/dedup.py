@@ -80,9 +80,9 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    return docs.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("shingle")
-    ).distinct()
+    from libosmtools_spark.text.analysis import shingle_pos_rows
+
+    return shingle_pos_rows(docs, k, id_col, text_col).select(id_col, "shingle").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -151,7 +151,12 @@ def hashed_shingles_col(text, k: int = 3) -> "F.Column":
     leave the JVM — only fixed-width int64 arrays cross Arrow into the
     signature UDF, which cut the 200k-doc signature stage from the
     dominant bench cost (object-dtype string hashing in Python) to a pure
-    integer permute."""
+    integer permute.
+
+    Kept as the per-row Column form; minhash_lsh_pairs now builds the same
+    multiset via lead-window rows + xxhash64 + collect_list (whole-stage
+    codegen — the nested HOF here evaluates interpreted, ~6× slower at the
+    10× tier)."""
     return F.transform(shingles_col(text, k), lambda s: F.xxhash64(s))
 
 
@@ -225,14 +230,25 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signature_udf(num_perm)
-    # the hashed-shingle transform is a nested higher-order function —
-    # Catalyst evaluates it INTERPRETED (no whole-stage codegen), so it is
-    # the query's dominant JVM cost; evaluate it exactly ONCE into a
-    # checkpointed (id, array<long>) table (~16B/shingle) and derive both
-    # the signature stage and the verification rows from that
-    hashed = docs.select(
-        F.col(id_col), hashed_shingles_col(F.col(text_col), k).alias("sh")
-    ).localCheckpoint(eager=True)
+    # shingle hashing runs as lead-window rows + xxhash64 + collect_list —
+    # whole-stage codegen end to end, measured ~6× the interpreted
+    # nested-HOF transform this replaces (3.8 s → 0.7 s for 2.6M shingles
+    # at the 10× tier); evaluated exactly ONCE into a checkpointed
+    # (id, array<long>) table (~16B/shingle) feeding both the signature
+    # stage and the verification rows.  Documents with fewer than k tokens
+    # drop out here rather than carrying an all-sentinel signature — the
+    # old sentinel rows formed ONE hot bucket of every shingle-less doc
+    # (quadratic candidates, all discarded by verification); the output is
+    # identical without them.
+    from libosmtools_spark.text.analysis import shingle_pos_rows
+
+    hashed = (
+        shingle_pos_rows(docs, k, id_col, text_col)
+        .withColumn("h", F.xxhash64("shingle"))
+        .groupBy(id_col)
+        .agg(F.collect_list("h").alias("sh"))
+        .localCheckpoint(eager=True)
+    )
     with_sig = hashed.withColumn("sig", sig(F.col("sh")))
 
     band_cols = [
@@ -346,11 +362,15 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over 60-bit shingle hashes.
 
-    Entirely relational: explode shingles → hash → 60 conditional-sum
-    aggregates → fingerprint assembly.  Docs with no shingles get 0."""
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("shingle")
-    ).withColumn("h", _shingle_hash60_col(F.col("shingle")))
+    Entirely relational: shingle rows (lead-window shingle_pos_rows —
+    whole-stage codegen, not the interpreted HOF) → hash → 60
+    conditional-sum aggregates → fingerprint assembly.  Docs with no
+    shingles get 0 (restored by the left join below)."""
+    from libosmtools_spark.text.analysis import shingle_pos_rows
+
+    sh = shingle_pos_rows(docs, k, id_col, text_col).withColumn(
+        "h", _shingle_hash60_col(F.col("shingle"))
+    )
     votes = sh.groupBy(id_col).agg(
         *[
             F.sum(

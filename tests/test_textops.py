@@ -152,6 +152,40 @@ class TestDedup:
                     want.add((a, b))
         assert set(zip(got["a"], got["b"])) == want
 
+    def test_shingle_pos_rows_equals_hof_form(self, docs, spark):
+        """The lead-window row form is exactly posexplode(shingles_col):
+        same (doc_id, pos, shingle) set on the corpus AND on adversarial
+        short/empty documents (which contribute no rows)."""
+        from libosmtools_spark.text.analysis import shingle_pos_rows, shingles_col
+
+        edge = spark.createDataFrame(
+            [(9000001, ""), (9000002, "one"), (9000003, "just two"),
+             (9000004, "exactly three tokens"), (9000005, "  padded   spacing  here  ")],
+            "doc_id long, text string",
+        )
+        both = docs.select("doc_id", "text").unionByName(edge)
+        a = shingle_pos_rows(both, 3)
+        b = both.select(
+            F.col("doc_id"),
+            F.posexplode(shingles_col(F.col("text"), 3)).alias("pos", "shingle"),
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        assert a.filter(F.col("doc_id").isin(9000001, 9000002, 9000003)).count() == 0
+        assert a.filter(F.col("doc_id") == 9000004).count() == 1
+
+    def test_minhash_short_docs_no_pairs_no_crash(self, spark):
+        """Documents with fewer than k tokens drop out of the signature
+        stage (no all-sentinel hot bucket) and never form pairs; real
+        duplicates in the same corpus are still found."""
+        from libosmtools_spark.dedup.dedup import minhash_lsh_pairs
+
+        body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(1, body), (2, body), (3, ""), (4, "x"), (5, "two words"),
+                (6, "a wholly different sentence about another topic entirely ok")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = minhash_lsh_pairs(d, threshold=0.5).toPandas()
+        assert set(zip(out["a"], out["b"])) == {(1, 2)}
+
     def test_minhash_lsh_recall(self, spark):
         from libosmtools_spark.dedup.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
