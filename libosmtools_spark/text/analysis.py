@@ -155,7 +155,15 @@ def shingle_pos_rows(
     ~6× the HOF form at the 10× bench tier (3.8 s → 0.7 s for 2.6M
     shingles).  Exactly the same (pos, shingle) set per document: trailing
     windows shorter than k (lead NULL) are filtered, so documents with
-    fewer than k tokens contribute no rows."""
+    fewer than k tokens contribute no rows.
+
+    Scale tradeoff (measured, not guessed): the window adds ONE shuffle of
+    token rows (~linear in text bytes) where the HOF form had none — but
+    every consumer (minhash signature, simhash vote, winnow min-window)
+    aggregates per document anyway, and that groupBy/window REUSES this
+    exchange's hash partitioning (verified: 1 Exchange total in the
+    minhash signature plan), so the op trades zero-shuffle-interpreted for
+    one-shuffle-codegen and wins ~6× CPU."""
     from pyspark.sql import Window as W
 
     toks = docs.select(
