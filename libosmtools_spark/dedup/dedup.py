@@ -145,6 +145,17 @@ def ngram_jaccard_pairs(
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _mod_mersenne(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61 - 1) for uint64 arrays via shift/mask folding — exactly
+    the same value as ``x % _MERSENNE`` (x ≡ (x >> 61) + (x & M) mod M, and
+    the folded sum is < 2M so one conditional subtract finishes), ~4× the
+    throughput of the hardware 64-bit modulo numpy emits for ``%``.  The
+    signature bits are unchanged — this is pure arithmetic strength
+    reduction (guide §1.2 per-task work)."""
+    r = (x >> np.uint64(61)) + (x & _MERSENNE)
+    return np.where(r >= _MERSENNE, r - _MERSENNE, r)
+
+
 def hashed_shingles_col(text, k: int = 3) -> "F.Column":
     """array<long> of 64-bit shingle hashes, computed ENTIRELY JVM-side:
     ``transform(shingles, s -> xxhash64(s))``.  The shingle strings never
@@ -191,8 +202,8 @@ def minhash_signature_udf(num_perm: int = 64, seed: int = 42):
                 tot += len(arrs[k])
                 k += 1
             flat = np.concatenate(arrs[j:k])
-            hv = flat % _MERSENNE
-            mh_all = (A[:, None] * hv[None, :] % _MERSENNE + B[:, None]) % _MERSENNE
+            hv = _mod_mersenne(flat)
+            mh_all = _mod_mersenne(_mod_mersenne(A[:, None] * hv[None, :]) + B[:, None])
             offs = np.cumsum([0] + [len(a) for a in arrs[j:k]])[:-1]
             mins = np.minimum.reduceat(mh_all, offs, axis=1).astype(np.int64)
             for d in range(k - j):

@@ -145,11 +145,22 @@ GEO_REGEX = r"geo:(-?\d+\.\d{6}),(-?\d+\.\d{6})"
 def geocode_cols(text: Column) -> tuple[Column, Column]:
     """Extract (lat, lon) from page text JVM-side (regexp_extract — no UDF).
 
+    ONE regex execution per row, not two: the full match ``geo:LAT,LON`` is
+    extracted once (whole-stage codegen subexpression elimination collapses
+    the shared subtree) and the two groups are sliced out of it with plain
+    string ops — the regex engine is the dominant per-row cost of the
+    geocode stage (guide §1.2 per-task work).  Exactly equivalent to
+    per-group extraction: on no match the regex yields '' and both slices
+    try_cast to NULL; on a match LAT contains no ',' and the matched
+    substring no second ':', so substring_index recovers the groups
+    byte-identically.
+
     ``try_cast`` (not ``cast``): a page without a geocode yields NULL
     coordinates instead of failing the job under ANSI mode; NULL lat/lon
     propagates to a NULL cell_key, which resolves to cell 0 / empty region
     set downstream (the outside-domain contract,
     /root/reference/src/OsmTriangulationRegionStore.cpp:1113-1114)."""
-    lat = F.regexp_extract(text, GEO_REGEX, 1).try_cast("double")
-    lon = F.regexp_extract(text, GEO_REGEX, 2).try_cast("double")
+    m = F.substring_index(F.regexp_extract(text, GEO_REGEX, 0), ":", -1)
+    lat = F.substring_index(m, ",", 1).try_cast("double")
+    lon = F.substring_index(m, ",", -1).try_cast("double")
     return lat, lon

@@ -414,8 +414,11 @@ def lsh_topk(
     bucket occupancy (linear candidates) with the recall curve held by
     table growth; at fixture scale the auto values are exactly the
     (10, 12) the static SQL oracle replicates."""
+    # one count serves both the auto geometry and the scoring dispatch
+    # (ADVICE r7: default-geometry callers paid a second uncached count)
+    n = embeddings.count()
     if n_planes is None or n_tables is None:
-        auto_p, auto_t = auto_lsh_params(embeddings.count())
+        auto_p, auto_t = auto_lsh_params(n)
         n_planes = auto_p if n_planes is None else n_planes
         n_tables = auto_t if n_tables is None else n_tables
     bucket = hyperplane_buckets_udf(n_planes, n_tables)
@@ -431,9 +434,68 @@ def lsh_topk(
         .select("qid", "nid")
         .dropDuplicates(["qid", "nid"])
     )
-    qv = embeddings.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    nv = embeddings.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    cand = cand.join(qv, "qid").join(nv, "nid")
+    scored = _score_pairs(embeddings, cand, "qid", "nid", id_col, vec_col, n_rows=n)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(id_col), F.col("nid").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def _score_pairs(
+    embeddings: DataFrame,
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_col: str,
+    vec_col: str,
+    n_rows: int | None = None,
+    brute_max_rows: int = BRUTE_MAX_ROWS,
+) -> DataFrame:
+    """pairs(a, b) → + cosine, bit-identical to the former per-pair pandas
+    UDF over twice-joined vectors: cosine = (va·vb row-sum) / (‖va‖·‖vb‖),
+    the exact same elementwise-product/sum/np.linalg.norm arithmetic.
+
+    Physical dispatch (count-gated like ann_topk): a broadcastable corpus
+    ships ONCE as an id-sorted matrix and each pair batch GATHERS its rows
+    — no vector join, no per-pair np.stack of 10^5 small lists (measured as
+    the dominant scoring cost), and the pair shuffle carries ids only.
+    Past broadcast scale the original two hash joins + pair UDF remain."""
+    n = embeddings.count() if n_rows is None else n_rows
+    # n == 0 falls through to the join path: zero rows means the scoring
+    # UDF never runs, and _collect_matrix cannot stack an empty corpus
+    if 0 < n <= brute_max_rows:
+        spark = embeddings.sparkSession
+        ids, M, _ = _collect_matrix(embeddings, id_col, vec_col)
+        bc = spark.sparkContext.broadcast((ids, M))
+        out_schema = T.StructType(
+            [
+                T.StructField(a_col, T.LongType()),
+                T.StructField(b_col, T.LongType()),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+
+        def score(it):
+            sids, SM = bc.value
+            norms = np.linalg.norm(SM, axis=1)
+            norms[norms == 0] = 1.0
+            for pdf in it:
+                ai = np.searchsorted(sids, pdf[a_col].to_numpy())
+                bi = np.searchsorted(sids, pdf[b_col].to_numpy())
+                A = SM[ai]
+                C = SM[bi]
+                cos = (A * C).sum(axis=1) / (norms[ai] * norms[bi])
+                yield pd.DataFrame(
+                    {a_col: pdf[a_col], b_col: pdf[b_col], "cosine": cos}
+                )
+
+        return pairs.mapInPandas(score, out_schema)
+
+    qv = embeddings.select(F.col(id_col).alias(a_col), F.col(vec_col).alias("qv"))
+    nv = embeddings.select(F.col(id_col).alias(b_col), F.col(vec_col).alias("nv"))
+    joined = pairs.join(qv, a_col).join(nv, b_col)
 
     @F.pandas_udf(T.DoubleType())
     def cos(a: pd.Series, c: pd.Series) -> pd.Series:
@@ -445,13 +507,7 @@ def lsh_topk(
         nc[nc == 0] = 1.0
         return pd.Series((A * C).sum(axis=1) / (na * nc))
 
-    scored = cand.withColumn("cosine", cos(F.col("qv"), F.col("nv")))
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("qid").alias(id_col), F.col("nid").alias("neighbor_id"), "rank", "cosine")
-    )
+    return joined.withColumn("cosine", cos(F.col("qv"), F.col("nv"))).drop("qv", "nv")
 
 
 # ---------------------------------------------------------------------------
@@ -582,21 +638,13 @@ def cosine_dup_pairs_lsh(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    av = embeddings.select(F.col(id_col).alias("a"), F.col(vec_col).alias("av"))
-    bv = embeddings.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bv"))
-    cand = cand.join(av, "a").join(bv, "b")
-
-    @F.pandas_udf(T.BooleanType())
-    def above(u: pd.Series, v: pd.Series) -> pd.Series:
-        A = np.stack(u.to_numpy()).astype(np.float64)
-        C = np.stack(v.to_numpy()).astype(np.float64)
-        na = np.linalg.norm(A, axis=1)
-        nc = np.linalg.norm(C, axis=1)
-        na[na == 0] = 1.0
-        nc[nc == 0] = 1.0
-        return pd.Series((A * C).sum(axis=1) / (na * nc) >= threshold)
-
-    return cand.filter(above(F.col("av"), F.col("bv"))).select("a", "b")
+    # same cosine arithmetic as before, via the count-gated broadcast-gather
+    # scorer (no vector joins / per-pair stacks at dimension scale)
+    return (
+        _score_pairs(embeddings, cand, "a", "b", id_col, vec_col)
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -773,21 +821,7 @@ def ivf_topk(
         .filter(F.col("qid") != F.col("nid"))
         .select("qid", "nid")
     )  # lists are disjoint per corpus vector and probes are distinct → no dup pairs
-    qv = embeddings.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    nv = embeddings.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    cand = cand.join(qv, "qid").join(nv, "nid")
-
-    @F.pandas_udf(T.DoubleType())
-    def cos(a: pd.Series, c: pd.Series) -> pd.Series:
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        C = np.stack(c.to_numpy()).astype(np.float64)
-        na = np.linalg.norm(A, axis=1)
-        nc = np.linalg.norm(C, axis=1)
-        na[na == 0] = 1.0
-        nc[nc == 0] = 1.0
-        return pd.Series((A * C).sum(axis=1) / (na * nc))
-
-    scored = cand.withColumn("cosine", cos(F.col("qv"), F.col("nv")))
+    scored = _score_pairs(embeddings, cand, "qid", "nid", id_col, vec_col)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

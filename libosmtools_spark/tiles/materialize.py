@@ -480,17 +480,62 @@ def cell_centers(cells: DataFrame) -> DataFrame:
     return cells.select("cell_key", clat.alias("center_lat"), clon.alias("center_lon"))
 
 
+def _set_diam2(cla, clo) -> float:
+    """Exact max squared euclidean (degree) distance of one point set.
+
+    Convex hull first (Andrew's monotone chain): the farthest pair of a
+    finite point set is a pair of hull vertices, so the pairwise max runs
+    over the (tiny) hull instead of all n² pairs — same value, computed by
+    the identical dlat²+dlon² expression, so the result is bit-equal to
+    the old quadratic scan (the max pair's arithmetic is unchanged).
+    NaN coordinates fall back to the legacy chunked quadratic scan to
+    preserve its propagation semantics exactly."""
+    import numpy as np
+
+    n = len(cla)
+    if n <= 2:
+        return 0.0 if n < 2 else float((cla[0] - cla[1]) ** 2 + (clo[0] - clo[1]) ** 2)
+    if np.isnan(cla).any() or np.isnan(clo).any():
+        best = 0.0
+        chunk = max(1, 4_000_000 // n)
+        for i0 in range(0, n, chunk):
+            sl = slice(i0, i0 + chunk)
+            d2 = (cla[sl, None] - cla[None, :]) ** 2 + (clo[sl, None] - clo[None, :]) ** 2
+            best = max(best, float(d2.max()))
+        return best
+    order = np.lexsort((cla, clo))
+    xs, ys = clo[order], cla[order]
+
+    def chain(idx):
+        stack: list = []
+        for i in idx:
+            while len(stack) >= 2:
+                a, b = stack[-2], stack[-1]
+                if (xs[b] - xs[a]) * (ys[i] - ys[a]) - (ys[b] - ys[a]) * (xs[i] - xs[a]) <= 0:
+                    stack.pop()
+                else:
+                    break
+            stack.append(i)
+        return stack
+
+    hull = np.unique(np.concatenate([chain(range(n)), chain(range(n - 1, -1, -1))]))
+    hy, hx = ys[hull], xs[hull]
+    d2 = (hy[:, None] - hy[None, :]) ** 2 + (hx[:, None] - hx[None, :]) ** 2
+    return float(d2.max())
+
+
 def cell_diameter(point_cells_latlon: DataFrame) -> DataFrame:
     """(cell_key, n, diam2): exact per-cell point-set diameter (max squared
-    euclidean degrees, the kNN metric) via chunked pairwise numpy.
+    euclidean degrees, the kNN metric).
 
-    Deliberately QUADRATIC per cell — the class of per-cell geometry the
-    reference bounds cell sizes for (refineCells,
-    /root/reference/src/OsmTriangulationRegionStore.cpp:593-759): on a
-    skewed corpus one hot cell holds ~a third of all points and its
-    n² work serializes onto one task; after cells/refine.refine_oversized
-    the same computation is bounded per cell and spreads across the
-    cluster.  bench.py measures exactly that before/after."""
+    Per cell the farthest pair is found via convex hull + a pairwise max
+    over hull vertices (_set_diam2) — O(n log n) instead of the former
+    chunked all-pairs scan, exact same output.  The per-cell grouping (one
+    task per cell) is unchanged, so the operator still exposes cell-size
+    skew: a hot cell's work serializes on one task until
+    cells/refine.refine_oversized bounds it — bench.py's skew probe
+    measures that before/after (the analytic Σn² work_ratio evidences the
+    bound; walls now measure the subquadratic operator)."""
     import numpy as np
     import pandas as pd
 
@@ -510,15 +555,8 @@ def cell_diameter(point_cells_latlon: DataFrame) -> DataFrame:
         ends = np.append(starts[1:], len(keys))
         ns, diams = np.empty(len(uniq), dtype=np.int64), np.empty(len(uniq))
         for i, (s, e) in enumerate(zip(starts, ends)):
-            cla, clo = la[s:e], lo[s:e]
-            n = e - s
-            best = 0.0
-            chunk = max(1, 4_000_000 // max(n, 1))
-            for i0 in range(0, n, chunk):
-                sl = slice(i0, i0 + chunk)
-                d2 = (cla[sl, None] - cla[None, :]) ** 2 + (clo[sl, None] - clo[None, :]) ** 2
-                best = max(best, float(d2.max()))
-            ns[i], diams[i] = n, best
+            ns[i] = e - s
+            diams[i] = _set_diam2(la[s:e], lo[s:e])
         return pd.DataFrame({"cell_key": uniq, "n": ns, "diam2": diams})
 
     return (
