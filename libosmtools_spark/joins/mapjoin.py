@@ -6,13 +6,16 @@ GridRegionTree (/root/reference/include/osmtools/OsmGridRegionTree.h:109-151)
 (the normal case: the store is a dimension table), the Spark-faithful
 translation is a single ``mapInArrow`` pass:
 
-    pages → geocode + cell_key (JVM Columns) → one Arrow-batched map that
-    resolves each point's region set from the broadcast index (definite
-    hits free, candidates ray-cast) → (url, cell_key, region_ids)
+    pages → one text-in Arrow-batched map (RE2 geocode + cell keys +
+    region resolution all inside the batch: definite hits free via
+    searchsorted + mask OR, boundary candidates ray-cast) →
+    (url, cell_key, region_ids)
 
 ZERO shuffles, embarrassingly parallel, scales linearly with executors —
 this is the plan that survives 10^12 rows.  The join-based path
-(joins/spatial.py) remains for stores too large to broadcast.
+(joins/spatial.py) remains for stores too large to broadcast; the lat/lon
+variant ``map_spatial_join`` serves callers whose coordinates already
+exist as columns (streaming joins, cell centers).
 """
 
 from __future__ import annotations
@@ -196,6 +199,178 @@ def _masks_to_region_lists(masks: np.ndarray):
     return offs.astype(np.int32), flat[idx]
 
 
+def _resolve_masks(
+    la, lo, keys, tabs, rings, index_levels, n_words, parts_only: bool = False
+) -> np.ndarray:
+    """The kernel core: (lat, lon, cell_key[-1 sentinel]) arrays → (n,
+    n_words) int64 region bitmasks.  Rows are grouped by cell (np.unique —
+    points in the same cell share one candidate set), definite regions OR
+    in with one batched searchsorted + mask-row OR per level, and only
+    boundary-cell points ray-cast (against edges pre-clipped to the cell).
+    Pure integer/float vector ops — no Python-object strings."""
+    n = len(keys)
+    masks = np.zeros((n, n_words), dtype=np.int64)
+    valid = keys >= 0
+    vidx = np.flatnonzero(valid)
+    la_v = la[vidx]
+    lo_v = lo[vidx]
+    # all probe-level keys from ONE float pass (bit-identical to
+    # per-level cell_key; shifts derive the coarser levels)
+    pkeys_by_level = (
+        K.cell_keys_multi(la_v, lo_v, index_levels)
+        if len(la_v)
+        else {lv: np.empty(0, np.int64) for lv in index_levels}
+    )
+    for lv in index_levels:
+        lkeys, full_masks, part_payload, has_part = tabs[lv]
+        if not len(lkeys):
+            continue
+        pkeys = pkeys_by_level[lv]
+        pos = np.searchsorted(lkeys, pkeys)
+        pos[pos >= len(lkeys)] = len(lkeys) - 1
+        hit = lkeys[pos] == pkeys
+        hidx = vidx[hit]          # batch row of each matched point
+        hpos = pos[hit]           # index-table row it matched
+        # ---- FULL hits: one vectorized OR per mask word (skipped when the
+        # caller resolves definite hits JVM-side — the hybrid plan)
+        if not parts_only:
+            for w in range(n_words):
+                masks[hidx, w] |= full_masks[hpos, w]
+        # ---- PARTIAL cells: per-cell ray-cast (boundary-only)
+        pm = has_part[hpos]
+        if pm.any():
+            p_idx = hidx[pm]
+            p_pos = hpos[pm]
+            order = np.argsort(p_pos, kind="stable")
+            sp = p_pos[order]
+            si = p_idx[order]
+            uniq, starts = np.unique(sp, return_index=True)
+            ends = np.append(starts[1:], len(sp))
+            for u, s, e in zip(uniq, starts, ends):
+                sel = si[s:e]
+                la_sel = la[sel]  # copy once per cell, not per region
+                lo_sel = lo[sel]
+                for rid, cl, flo, fhi in part_payload[u]:
+                    word, bit = divmod(rid, 63)
+                    if cl is not None:
+                        hits_ = K.point_in_edges(la_sel, lo_sel, cl, frame=(flo, fhi))
+                    else:
+                        outers, inners = rings[rid]
+                        hits_ = K.point_in_rings(la_sel, lo_sel, outers, inners)
+                    masks[sel[hits_], word] |= np.int64(1) << np.int64(bit)
+    return masks
+
+
+#: named-group form of geom.columns.GEO_REGEX for pyarrow's extract_regex
+#: (RE2 requires named captures; names change nothing about what matches)
+_GEO_REGEX_NAMED = r"geo:(?P<glat>-?\d+\.\d{6}),(?P<glon>-?\d+\.\d{6})"
+
+
+def _geocode_batch(text_col):
+    """Arrow string column → (lat, lon) float64 numpy arrays (NaN = no
+    geocode), computed with RE2 (pyarrow.compute.extract_regex) + Arrow's
+    correctly-rounded string→double cast.
+
+    Exactly geom.columns.geocode_cols: the pattern is the same byte
+    pattern (\\d is ASCII [0-9] in both Java regex and RE2, search
+    semantics both first-match), and both Double.parseDouble and Arrow's
+    cast are correctly-rounded IEEE-754 conversions of the same digit
+    strings — parity is asserted against the JVM path in
+    tests/test_spatial_join.py and by the flagship goldens/oracles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = pc.extract_regex(text_col, _GEO_REGEX_NAMED)
+    la = pc.cast(pc.struct_field(m, "glat"), pa.float64()).to_numpy(zero_copy_only=False)
+    lo = pc.cast(pc.struct_field(m, "glon"), pa.float64()).to_numpy(zero_copy_only=False)
+    return la, lo
+
+
+def _keys_of(la: np.ndarray, lo: np.ndarray, level: int) -> np.ndarray:
+    """cell keys with -1 where coordinates are NaN (the kernel sentinel) —
+    same bit layout as geom.columns.cell_key_col (parity-tested)."""
+    keys = np.full(len(la), -1, dtype=np.int64)
+    valid = ~np.isnan(la) & ~np.isnan(lo)
+    if valid.any():
+        keys[valid] = K.cell_key(la[valid], lo[valid], level)
+    return keys
+
+
+def map_spatial_join_text(
+    pages: DataFrame,
+    candidates_bcast,
+    rings_bcast,
+    id_col: str = "url",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """pages(id, text) → (id, cell_key, region_ids): the zero-shuffle
+    flagship kernel with geocode + cell-key derivation INSIDE the Arrow
+    batch (RE2 + numpy) instead of JVM expressions upstream.
+
+    Same results as ``with_cell_key(geocode_pages(pages))`` →
+    ``map_spatial_join`` (see _geocode_batch for the parity argument); the
+    win is the Python boundary: only (id, text) crosses into the worker —
+    not (id, lat, lon, cell_key) — and the JVM regex pass disappears.
+    Measured at the 25.6M-page scaling tier (local[4]): the JVM
+    geocode+key stage alone was ~4.7 s and the identity Arrow round trip
+    ~10.6 s; fusing them removes a whole JVM pass and 24 bytes/row of
+    boundary traffic (guide §4.1: control how many columns cross)."""
+    n_regions = candidates_bcast.value["n_regions"]
+    n_words = max(1, (n_regions + 62) // 63)
+    id_type = dict(pages.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, cell_key long, region_ids array<int>"
+    index_levels = sorted(candidates_bcast.value["levels"].keys())
+
+    def run(batches):
+        import pyarrow as pa
+
+        tabs = candidates_bcast.value["levels"]
+        rings = rings_bcast.value
+        for batch in batches:
+            la, lo = _geocode_batch(batch.column(text_col))
+            keys = _keys_of(la, lo, level)
+            masks = _resolve_masks(la, lo, keys, tabs, rings, index_levels, n_words)
+            offs, vals = _masks_to_region_lists(masks)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pa.array(keys, type=pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offs, type=pa.int32()), pa.array(vals, type=pa.int32())
+                    ),
+                ],
+                [id_col, "cell_key", "region_ids"],
+            )
+
+    out = pages.select(id_col, text_col).mapInArrow(run, schema)
+    restore_key = F.when(F.col("cell_key") >= 0, F.col("cell_key"))
+    return out.select(id_col, restore_key.alias("cell_key"), "region_ids")
+
+
+def page_cell_keys_text(
+    pages: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """pages(…, text) → distinct-ish (cell_key) rows (NULL for pages with
+    no geocode), one text-only Arrow pass emitting each batch's UNIQUE
+    keys — the cells-dictionary feed of the flagship without re-running
+    the geocode as a second JVM pass over the corpus.  Callers still
+    .distinct() the (tiny) result; the batch-level np.unique just keeps
+    the emitted rows at distinct-cell scale instead of corpus scale."""
+    schema = "cell_key long"
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            la, lo = _geocode_batch(batch.column(text_col))
+            keys = np.unique(_keys_of(la, lo, level))
+            yield pa.RecordBatch.from_arrays([pa.array(keys, type=pa.int64())], ["cell_key"])
+
+    out = pages.select(text_col).mapInArrow(run, schema)
+    return out.select(F.when(F.col("cell_key") >= 0, F.col("cell_key")).alias("cell_key"))
+
+
 def map_spatial_join(
     points: DataFrame,
     candidates_bcast,
@@ -250,7 +425,6 @@ def map_spatial_join(
         rings = rings_bcast.value
         nan = pa.scalar(float("nan"), type=pa.float64())
         for batch in batches:
-            n = batch.num_rows
             # Arrow-native I/O (mapInArrow): the id column passes through as
             # an Arrow buffer — a pandas round-trip would materialize
             # millions of Python string objects per task, which dominated
@@ -268,55 +442,7 @@ def map_spatial_join(
             # corrupt the whole batch — the asarray int64 check raises
             # loudly if that ever regresses.
             keys = np.asarray(batch.column("cell_key").to_numpy(), dtype=np.int64)
-            masks = np.zeros((n, n_words), dtype=np.int64)
-            valid = keys >= 0
-            vidx = np.flatnonzero(valid)
-            la_v = la[vidx]
-            lo_v = lo[vidx]
-            # all probe-level keys from ONE float pass (bit-identical to
-            # per-level cell_key; shifts derive the coarser levels)
-            pkeys_by_level = (
-                K.cell_keys_multi(la_v, lo_v, index_levels)
-                if len(la_v)
-                else {lv: np.empty(0, np.int64) for lv in index_levels}
-            )
-            for lv in index_levels:
-                lkeys, full_masks, part_payload, has_part = tabs[lv]
-                if not len(lkeys):
-                    continue
-                pkeys = pkeys_by_level[lv]
-                pos = np.searchsorted(lkeys, pkeys)
-                pos[pos >= len(lkeys)] = len(lkeys) - 1
-                hit = lkeys[pos] == pkeys
-                hidx = vidx[hit]          # batch row of each matched point
-                hpos = pos[hit]           # index-table row it matched
-                # ---- FULL hits: one vectorized OR per mask word
-                for w in range(n_words):
-                    masks[hidx, w] |= full_masks[hpos, w]
-                # ---- PARTIAL cells: per-cell ray-cast (boundary-only)
-                pm = has_part[hpos]
-                if pm.any():
-                    p_idx = hidx[pm]
-                    p_pos = hpos[pm]
-                    order = np.argsort(p_pos, kind="stable")
-                    sp = p_pos[order]
-                    si = p_idx[order]
-                    uniq, starts = np.unique(sp, return_index=True)
-                    ends = np.append(starts[1:], len(sp))
-                    for u, s, e in zip(uniq, starts, ends):
-                        sel = si[s:e]
-                        la_sel = la[sel]  # copy once per cell, not per region
-                        lo_sel = lo[sel]
-                        for rid, cl, flo, fhi in part_payload[u]:
-                            word, bit = divmod(rid, 63)
-                            if cl is not None:
-                                hits_ = K.point_in_edges(
-                                    la_sel, lo_sel, cl, frame=(flo, fhi)
-                                )
-                            else:
-                                outers, inners = rings[rid]
-                                hits_ = K.point_in_rings(la_sel, lo_sel, outers, inners)
-                            masks[sel[hits_], word] |= np.int64(1) << np.int64(bit)
+            masks = _resolve_masks(la, lo, keys, tabs, rings, index_levels, n_words)
             arrays = [batch.column(id_col), batch.column("cell_key")]
             names = [id_col, "cell_key"]
             for c in carry_cols:  # passthrough Arrow buffers (e.g. event time

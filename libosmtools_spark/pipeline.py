@@ -54,9 +54,15 @@ class SpatialEngine:
         self.level = level
         self.max_level = level + DEFAULT_REFINE_LEVELS if max_level is None else max_level
         self.region_rings = region_rings
-        # dimension-scale: collect rings once, broadcast to every executor
-        self.rings_bcast = spark.sparkContext.broadcast(rings_lookup(region_rings.toPandas()))
-        self.cell_index = build_adaptive_cell_index(region_rings, level, self.max_level).cache()
+        # dimension-scale: collect rings ONCE — the same collected frame
+        # feeds the broadcast lookup AND the (count-gated driver-local)
+        # index build, so the engine constructor runs one Spark job instead
+        # of a collect + a shuffle/UDF stage per build
+        rings_pdf = region_rings.toPandas()
+        self.rings_bcast = spark.sparkContext.broadcast(rings_lookup(rings_pdf))
+        self.cell_index = build_adaptive_cell_index(
+            region_rings, level, self.max_level, rings_pdf=rings_pdf
+        ).cache()
         self._candidates_bcast = None
 
     @property
@@ -113,16 +119,26 @@ class SpatialEngine:
 
     def flagship_map(self, pages: DataFrame) -> DataFrame:
         """(url, cell_key, cell_id, region_ids) with ZERO shuffles — the
-        broadcast-store plan (joins/mapjoin.py): one mapInArrow resolves
-        each page's region set; the cells dictionary joins broadcast.  The
-        plan of record for 10^12 pages with a broadcastable polygon store
-        (the reference's own in-memory posture)."""
-        from libosmtools_spark.joins.mapjoin import map_spatial_join
+        broadcast-store plan (joins/mapjoin.py): one text-in mapInArrow
+        resolves each page's geocode, cell key AND region set (RE2 + numpy
+        inside the batch — the JVM regex/key pass and 24 B/row of Arrow
+        boundary traffic are gone, see map_spatial_join_text); the cells
+        dictionary derives from a text-only second pass that emits
+        batch-unique keys, and joins broadcast.  The plan of record for
+        10^12 pages with a broadcastable polygon store (the reference's
+        own in-memory posture)."""
+        from libosmtools_spark.joins.mapjoin import (
+            map_spatial_join_text,
+            page_cell_keys_text,
+        )
 
-        pts = self.page_points(pages).select("url", "lat", "lon", "cell_key")
-        res = map_spatial_join(pts, self.candidates_bcast, self.rings_bcast)
+        res = map_spatial_join_text(
+            pages, self.candidates_bcast, self.rings_bcast, level=self.level
+        )
         cells = build_cells_table_map(
-            pts.select("cell_key"), self.candidates_bcast, self.rings_bcast
+            page_cell_keys_text(pages, level=self.level),
+            self.candidates_bcast,
+            self.rings_bcast,
         )
         out = res.join(F.broadcast(cells.select("cell_key", "cell_id")), "cell_key", "left")
         return out.select(
@@ -204,7 +220,7 @@ def run_flagship_staged(
     skips straight to reading the stage parquet — resumable from any
     point (north-rule requirement)."""
     from libosmtools_spark.cells.assign import build_cells_table_map
-    from libosmtools_spark.joins.mapjoin import map_spatial_join
+    from libosmtools_spark.joins.mapjoin import map_spatial_join_text
     from libosmtools_spark.run.checkpoint import CheckpointManager, input_fingerprint
 
     pages_path = os.path.join(fixtures_dir, "pages.parquet")
@@ -215,8 +231,9 @@ def run_flagship_staged(
 
     def build_regions():
         pages = spark.read.parquet(pages_path)
-        pts = eng.page_points(pages).select("url", "lat", "lon", "cell_key")
-        return map_spatial_join(pts, eng.candidates_bcast, eng.rings_bcast)
+        return map_spatial_join_text(
+            pages, eng.candidates_bcast, eng.rings_bcast, level=eng.level
+        )
 
     res = cp.stage("page_regions", fp, build_regions)
     cells = cp.stage(

@@ -61,13 +61,16 @@ def main() -> None:
     pages = spark.read.parquet(inflated)
 
     def timed(name, fn):
-        best = None
+        best, best_cpu = None, None
         for _ in range(passes):
+            c = bench.cpu_sec()
             t = time.monotonic()
             fn()
             dt = time.monotonic() - t
-            best = dt if best is None or dt < best else best
-        print(f"[p] {name}: best {best:.2f}s over {passes}", flush=True)
+            dc = bench.cpu_sec() - c
+            if best is None or dt < best:
+                best, best_cpu = dt, dc
+        print(f"[p] {name}: best {best:.2f}s cpu {best_cpu:.1f}s over {passes}", flush=True)
 
     spark.sparkContext.setJobDescription("profile: scan")
     timed("scan", lambda: noop(pages.select("url", "text")))
