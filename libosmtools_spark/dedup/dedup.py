@@ -223,6 +223,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     k: int = 3,
     candidate_filter_min_docs: int = 20_000,
+    verify_gather_max_docs: int = 200_000,
 ) -> DataFrame:
     """LSH candidate pairs verified by exact Jaccard ≥ threshold —
     CANDIDATE-ONLY verification: the exact check joins the (linear-size)
@@ -268,9 +269,21 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    # id-only rows through the bucket shuffle (no payload duplication)
-    banded = with_sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").cast("string").alias("key")
+    # id-only rows through the bucket shuffle (no payload duplication).
+    # (Keying the join on the raw array<long> slice instead of the string
+    # cast was measured SLOWER at the 10× tier — 11.3 s vs 9.1 s for the
+    # candidate join — array hashing/comparison in the exchange beats the
+    # one-time cast; keep the string key.)
+    # checkpointed ONCE: the aliased self-join below otherwise re-runs the
+    # whole signature pipeline per side, and with both sides reading the
+    # same materialized rows the two bucket exchanges canonicalize equal
+    # and ReuseExchange ships banded through the shuffle once
+    banded = (
+        with_sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
+        .select(
+            id_col, F.col("bk.band").alias("band"), F.col("bk.key").cast("string").alias("key")
+        )
+        .localCheckpoint(eager=True)
     )
     cand = (
         banded.alias("x")
@@ -280,27 +293,60 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact Jaccard for the CANDIDATES only: explode a's shingles against
-    # the candidate list, semi-match them into b's shingle set — two hash
-    # joins at candidate scale, never a corpus self-join.  Shingles travel
-    # as 64-bit xxhash64 values, not strings: the set-intersection counts
-    # are identical unless two distinct shingles of one doc pair collide
-    # (~2^-64 per pair — accepted on the scale path; ngram_jaccard_pairs
-    # remains the string-exact ground truth).
-    # referenced three times below (sizes + both join sides), derived from
-    # the already-checkpointed hashed arrays — no second HOF evaluation.
+    # exact Jaccard for the CANDIDATES only — never a corpus self-join.
+    # Shingles travel as 64-bit xxhash64 values, not strings: the
+    # set-intersection counts are identical unless two distinct shingles
+    # of one doc pair collide (~2^-64 per pair — accepted on the scale
+    # path; ngram_jaccard_pairs remains the string-exact ground truth).
     #
-    # COUNT-GATED candidate filter (the ann_topk dispatch pattern): above
-    # ``candidate_filter_min_docs`` the verification explode is cut to
-    # docs that actually appear in a candidate pair — candidates are
-    # linear-size and usually ≪ corpus, so at scale the verification never
-    # materializes the corpus-wide shingle table (measured −25% wall at
-    # the 10× bench tier).  Below the gate the corpus-wide explode stays:
-    # pinning ``cand`` eagerly costs an extra unfused job that DOUBLED the
-    # small-corpus wall when applied unconditionally.  The count is on the
-    # already-checkpointed ``hashed`` — no recompute.
+    # COUNT-GATED physical dispatch (the ann_topk pattern):
+    # - corpora whose hashed-shingle table is broadcast-scale
+    #   (≤ verify_gather_max_docs) verify via BROADCAST GATHER: the per-doc
+    #   sorted shingle-hash sets ship once, and one mapInPandas over the
+    #   candidate pairs computes |∩|/|∪| with numpy set intersection —
+    #   same integers, same single IEEE division, but the whole
+    #   explode/distinct/4-join verification pipeline (measured as the
+    #   bulk of the operator's 13.6 s wall at the 10× tier — shingle and
+    #   signature stages are ~4 s combined) collapses to one narrow stage;
+    # - beyond that, the fully relational candidate-filtered path below is
+    #   unchanged (the 100 TB shape: nothing driver-side scales with the
+    #   corpus).
+    n_docs = hashed.count()
+    if n_docs <= verify_gather_max_docs:
+        pdf = hashed.toPandas()
+        sets = {
+            int(i): np.unique(np.asarray(s, dtype=np.int64))
+            for i, s in zip(pdf[id_col].to_numpy(), pdf["sh"].to_numpy())
+        }
+        bc = docs.sparkSession.sparkContext.broadcast(sets)
+
+        def verify(it):
+            d = bc.value
+            for p in it:
+                a_ids = p["a"].to_numpy()
+                b_ids = p["b"].to_numpy()
+                jac = np.empty(len(a_ids), dtype=np.float64)
+                for i in range(len(a_ids)):
+                    sa = d[int(a_ids[i])]
+                    sb = d[int(b_ids[i])]
+                    inter = np.intersect1d(sa, sb, assume_unique=True)
+                    jac[i] = float(len(inter)) / float(len(sa) + len(sb) - len(inter))
+                yield pd.DataFrame({"a": a_ids, "b": b_ids, "jaccard": jac})
+
+        out = (
+            cand.mapInPandas(verify, "a long, b long, jaccard double")
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+        from libosmtools_spark.session import release_local_checkpoint
+
+        release_local_checkpoint(banded)
+        release_local_checkpoint(hashed)
+        return out
+
     cand_checkpointed = False
-    if hashed.count() > candidate_filter_min_docs:
+    if n_docs > candidate_filter_min_docs:
         # pinned eagerly: it feeds TWO downstream branches (the
         # candidate-id semi-filter and the intersection join) — lazy it
         # would run the bucket join twice
@@ -349,6 +395,7 @@ def minhash_lsh_pairs(
     release_local_checkpoint(sh)
     if cand_checkpointed:
         release_local_checkpoint(cand)
+    release_local_checkpoint(banded)
     release_local_checkpoint(hashed)
     return out
 

@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # shuffled hash join over sort-merge when a side's per-partition
+        # build fits comfortably (guide §3.1): the engine's hot joins are
+        # id/bucket equi-joins whose per-partition hash tables are far
+        # under this bound, and skipping both sort passes shaved the LSH
+        # candidate joins measurably; AQE's localMapThreshold lets the
+        # runtime demote SMJ → SHJ plan-by-plan instead of a blanket force
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
