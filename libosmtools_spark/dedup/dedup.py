@@ -341,6 +341,10 @@ def minhash_lsh_pairs(
         )
         from libosmtools_spark.session import release_local_checkpoint
 
+        # out is already materialized — the shingle-set broadcast (tens of
+        # MB per call at the 10× tier) is dead; free executor/worker
+        # copies now instead of waiting for the ContextCleaner
+        bc.unpersist(False)
         release_local_checkpoint(banded)
         release_local_checkpoint(hashed)
         return out

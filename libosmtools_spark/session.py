@@ -50,6 +50,13 @@ def get_spark(
         # runtime demote SMJ → SHJ plan-by-plan instead of a blanket force
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+        # Long-lived sessions issue many queries whose broadcasts (corpus
+        # matrices, candidate stores, shingle-set dictionaries) are only
+        # reclaimed by the ContextCleaner after a DRIVER GC notices the
+        # dropped references; on a 48g heap that can take many minutes, so
+        # worker/JVM copies pile up across a query census and later
+        # queries pay the memory pressure.  Periodic GC bounds the pile.
+        .config("spark.cleaner.periodicGC.interval", os.environ.get("SPARK_GRAFT_PERIODIC_GC", "90s"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
