@@ -89,5 +89,18 @@ def run(sf_dir: str, only: list[str]):
 
 
 if __name__ == "__main__":
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # fail fast with an actionable message when pointed at a directory
+    # without the driver-table parquets (e.g. the repo-local fixtures/sfX
+    # dirs, which hold only the spatial fixtures) — the DuckDB views would
+    # otherwise error one query at a time
+    missing = [t for t in TABLES if not os.path.exists(os.path.join(sf_dir, f"{t}.parquet"))]
+    if missing:
+        sys.exit(
+            f"{sf_dir} lacks the driver tables {missing}; pass a driver "
+            "testdata tier such as /root/testdata/sf0.001 (repo fixtures/sfX "
+            "dirs hold only the spatial fixtures, not the TPC-style tables)"
+        )
     sys.exit(run(sf_dir, sys.argv[2:]))
