@@ -313,22 +313,51 @@ def minhash_lsh_pairs(
     #   corpus).
     n_docs = hashed.count()
     if n_docs <= verify_gather_max_docs:
+        # per-doc sorted-unique shingle-hash sets as ONE flat int64 array +
+        # a doc→slice map, built fully vectorized (one lexsort + one
+        # adjacent-dedup pass): a 50k-entry dict of numpy arrays cost
+        # ~3-4 s of serial driver pickling per call at the 10× tier and
+        # made this the bench's noisiest query; three numeric buffers
+        # pickle in tens of ms
         pdf = hashed.toPandas()
-        sets = {
-            int(i): np.unique(np.asarray(s, dtype=np.int64))
-            for i, s in zip(pdf[id_col].to_numpy(), pdf["sh"].to_numpy())
-        }
-        bc = docs.sparkSession.sparkContext.broadcast(sets)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        sh_lists = pdf["sh"].to_numpy()
+        lens = np.fromiter((len(s) for s in sh_lists), dtype=np.int64, count=len(ids))
+        if len(ids):
+            vals = np.concatenate([np.asarray(s, dtype=np.int64) for s in sh_lists])
+            doc_idx = np.repeat(np.arange(len(ids)), lens)
+            order = np.lexsort((vals, doc_idx))
+            sv = vals[order]
+            sd = doc_idx[order]
+            first = np.empty(len(sv), dtype=bool)
+            first[0] = True
+            np.not_equal(sd[1:], sd[:-1], out=first[1:])
+            keep = first | np.concatenate(([True], sv[1:] != sv[:-1]))
+            dv = sv[keep]
+            dd = sd[keep]
+            set_lens = np.bincount(dd, minlength=len(ids))
+            offs = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(set_lens, out=offs[1:])
+            slices = {
+                int(i): (int(s), int(e))
+                for i, s, e in zip(ids, offs[:-1], offs[1:])
+            }
+        else:
+            dv = np.empty(0, dtype=np.int64)
+            slices = {}
+        bc = docs.sparkSession.sparkContext.broadcast((slices, dv))
 
         def verify(it):
-            d = bc.value
+            sl, flat = bc.value
             for p in it:
                 a_ids = p["a"].to_numpy()
                 b_ids = p["b"].to_numpy()
                 jac = np.empty(len(a_ids), dtype=np.float64)
                 for i in range(len(a_ids)):
-                    sa = d[int(a_ids[i])]
-                    sb = d[int(b_ids[i])]
+                    s0, e0 = sl[int(a_ids[i])]
+                    s1, e1 = sl[int(b_ids[i])]
+                    sa = flat[s0:e0]
+                    sb = flat[s1:e1]
                     inter = np.intersect1d(sa, sb, assume_unique=True)
                     jac[i] = float(len(inter)) / float(len(sa) + len(sb) - len(inter))
                 yield pd.DataFrame({"a": a_ids, "b": b_ids, "jaccard": jac})
