@@ -199,9 +199,7 @@ def _masks_to_region_lists(masks: np.ndarray):
     return offs.astype(np.int32), flat[idx]
 
 
-def _resolve_masks(
-    la, lo, keys, tabs, rings, index_levels, n_words, parts_only: bool = False
-) -> np.ndarray:
+def _resolve_masks(la, lo, keys, tabs, rings, index_levels, n_words) -> np.ndarray:
     """The kernel core: (lat, lon, cell_key[-1 sentinel]) arrays → (n,
     n_words) int64 region bitmasks.  Rows are grouped by cell (np.unique —
     points in the same cell share one candidate set), definite regions OR
@@ -231,11 +229,9 @@ def _resolve_masks(
         hit = lkeys[pos] == pkeys
         hidx = vidx[hit]          # batch row of each matched point
         hpos = pos[hit]           # index-table row it matched
-        # ---- FULL hits: one vectorized OR per mask word (skipped when the
-        # caller resolves definite hits JVM-side — the hybrid plan)
-        if not parts_only:
-            for w in range(n_words):
-                masks[hidx, w] |= full_masks[hpos, w]
+        # ---- FULL hits: one vectorized OR per mask word
+        for w in range(n_words):
+            masks[hidx, w] |= full_masks[hpos, w]
         # ---- PARTIAL cells: per-cell ray-cast (boundary-only)
         pm = has_part[hpos]
         if pm.any():
