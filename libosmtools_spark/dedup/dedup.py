@@ -144,6 +144,12 @@ def ngram_jaccard_pairs(
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+#: gather-verification bound on TOTAL shingle hashes collected to the
+#: driver (~8 bytes each: 50M ≈ 400 MB flat buffer — comfortable on the
+#: 48g driver, far past every bench tier); corpora above it verify on the
+#: fully relational path regardless of doc count
+VERIFY_GATHER_MAX_SHINGLES = 50_000_000
+
 
 def _mod_mersenne(x: np.ndarray) -> np.ndarray:
     """x mod (2^61 - 1) for uint64 arrays via shift/mask folding — exactly
@@ -311,8 +317,24 @@ def minhash_lsh_pairs(
     # - beyond that, the fully relational candidate-filtered path below is
     #   unchanged (the 100 TB shape: nothing driver-side scales with the
     #   corpus).
-    n_docs = hashed.count()
-    if n_docs <= verify_gather_max_docs:
+    # the gather gate needs (a) integral ids — the broadcast slice map and
+    # the 'a long, b long' verify schema are int64; non-integral id types
+    # keep the type-generic relational path at every size — and (b) a
+    # bound on total SHINGLE volume, not just doc count: the driver
+    # collect/broadcast scales with Σ|shingles|, and a sub-gate doc count
+    # of long documents could otherwise materialize gigabytes driver-side.
+    # One aggregation job yields both numbers (replaces the bare count()).
+    id_integral = dict(hashed.dtypes)[id_col] in ("int", "bigint", "smallint", "tinyint")
+    agg_row = hashed.agg(
+        F.count("*").alias("n"), F.sum(F.size("sh")).alias("n_sh")
+    ).collect()[0]
+    n_docs = int(agg_row["n"])
+    n_shingles_total = int(agg_row["n_sh"] or 0)
+    if (
+        id_integral
+        and n_docs <= verify_gather_max_docs
+        and n_shingles_total <= VERIFY_GATHER_MAX_SHINGLES
+    ):
         # per-doc sorted-unique shingle-hash sets as ONE flat int64 array +
         # a doc→slice map, built fully vectorized (one lexsort + one
         # adjacent-dedup pass): a 50k-entry dict of numpy arrays cost

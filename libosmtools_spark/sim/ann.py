@@ -467,8 +467,13 @@ def _score_pairs(
     # UDF never runs, and _collect_matrix cannot stack an empty corpus
     if 0 < n <= brute_max_rows:
         spark = embeddings.sparkSession
-        ids, M, _ = _collect_matrix(embeddings, id_col, vec_col)
-        bc = spark.sparkContext.broadcast((ids, M))
+        # keep the zero-guarded norms _collect_matrix already computed —
+        # per-task recomputation threw them away (review finding)
+        ids, M, norms_ = _collect_matrix(embeddings, id_col, vec_col)
+        # the returned frame is LAZY, so this broadcast cannot be
+        # unpersisted here; the session's periodic ContextCleaner GC
+        # (session.py) reclaims it once the caller drops the result
+        bc = spark.sparkContext.broadcast((ids, M, norms_))
         out_schema = T.StructType(
             [
                 T.StructField(a_col, T.LongType()),
@@ -478,9 +483,7 @@ def _score_pairs(
         )
 
         def score(it):
-            sids, SM = bc.value
-            norms = np.linalg.norm(SM, axis=1)
-            norms[norms == 0] = 1.0
+            sids, SM, norms = bc.value
             for pdf in it:
                 ai = np.searchsorted(sids, pdf[a_col].to_numpy())
                 bi = np.searchsorted(sids, pdf[b_col].to_numpy())
@@ -624,8 +627,11 @@ def cosine_dup_pairs_lsh(
     ~0.9) at the fixture-scale geometry, measured on planted duplicates in
     tests.  Geometry defaults to auto_lsh_params(count) — see lsh_topk.
     Use cosine_dup_pairs (exact) when the corpus permits."""
+    # one count serves both the auto geometry and the scorer dispatch —
+    # default-geometry callers previously paid a second uncached count
+    n = embeddings.count()
     if n_planes is None or n_tables is None:
-        auto_p, auto_t = auto_lsh_params(embeddings.count())
+        auto_p, auto_t = auto_lsh_params(n)
         n_planes = auto_p if n_planes is None else n_planes
         n_tables = auto_t if n_tables is None else n_tables
     bucket = hyperplane_buckets_udf(n_planes, n_tables)
@@ -641,7 +647,7 @@ def cosine_dup_pairs_lsh(
     # same cosine arithmetic as before, via the count-gated broadcast-gather
     # scorer (no vector joins / per-pair stacks at dimension scale)
     return (
-        _score_pairs(embeddings, cand, "a", "b", id_col, vec_col)
+        _score_pairs(embeddings, cand, "a", "b", id_col, vec_col, n_rows=n)
         .filter(F.col("cosine") >= threshold)
         .select("a", "b")
     )

@@ -493,8 +493,11 @@ def _set_diam2(cla, clo) -> float:
     import numpy as np
 
     n = len(cla)
-    if n <= 2:
-        return 0.0 if n < 2 else float((cla[0] - cla[1]) ** 2 + (clo[0] - clo[1]) ** 2)
+    if n < 2:
+        return 0.0
+    # NaN check BEFORE the 2-point shortcut: the legacy scan's
+    # max(0.0, nan) kept 0.0 for a NaN pair, and the fallback reproduces
+    # that; a bare subtraction would return NaN instead
     if np.isnan(cla).any() or np.isnan(clo).any():
         best = 0.0
         chunk = max(1, 4_000_000 // n)
@@ -503,6 +506,8 @@ def _set_diam2(cla, clo) -> float:
             d2 = (cla[sl, None] - cla[None, :]) ** 2 + (clo[sl, None] - clo[None, :]) ** 2
             best = max(best, float(d2.max()))
         return best
+    if n == 2:
+        return float((cla[0] - cla[1]) ** 2 + (clo[0] - clo[1]) ** 2)
     order = np.lexsort((cla, clo))
     xs, ys = clo[order], cla[order]
 
@@ -520,8 +525,17 @@ def _set_diam2(cla, clo) -> float:
 
     hull = np.unique(np.concatenate([chain(range(n)), chain(range(n - 1, -1, -1))]))
     hy, hx = ys[hull], xs[hull]
-    d2 = (hy[:, None] - hy[None, :]) ** 2 + (hx[:, None] - hx[None, :]) ** 2
-    return float(d2.max())
+    # hull size is usually tiny, but points in convex position keep it at
+    # ~n — chunk the pairwise max like the legacy scan so the temporaries
+    # stay bounded instead of allocating an h×h matrix
+    h = len(hull)
+    best = 0.0
+    chunk = max(1, 4_000_000 // h)
+    for i0 in range(0, h, chunk):
+        sl = slice(i0, i0 + chunk)
+        d2 = (hy[sl, None] - hy[None, :]) ** 2 + (hx[sl, None] - hx[None, :]) ** 2
+        best = max(best, float(d2.max()))
+    return best
 
 
 def cell_diameter(point_cells_latlon: DataFrame) -> DataFrame:

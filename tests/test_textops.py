@@ -202,15 +202,17 @@ class TestDedup:
         assert want, "planted duplicates must exist"
         # high-band LSH at j>=0.8 should reach full recall on identical docs
         assert got == want
-        # the count-gated candidate-filtered verification path (fires above
-        # candidate_filter_min_docs; forced here) must produce the exact
-        # same pairs — the semi-join only drops docs no candidate references
-        gated = minhash_lsh_pairs(
-            docs, threshold=0.8, num_perm=64, bands=32, candidate_filter_min_docs=0
-        ).toPandas()
-        assert set(zip(gated["a"], gated["b"])) == want
-        assert sorted(map(tuple, gated[["a", "b", "jaccard"]].itertuples(index=False))) \
-            == sorted(map(tuple, lsh[["a", "b", "jaccard"]].itertuples(index=False)))
+        # the RELATIONAL verification paths (gather disabled so the branch
+        # actually runs): both the corpus-wide explode and the count-gated
+        # candidate-filtered variant must produce the exact same pairs
+        for min_docs in (0, 20_000):
+            gated = minhash_lsh_pairs(
+                docs, threshold=0.8, num_perm=64, bands=32,
+                candidate_filter_min_docs=min_docs, verify_gather_max_docs=0,
+            ).toPandas()
+            assert set(zip(gated["a"], gated["b"])) == want
+            assert sorted(map(tuple, gated[["a", "b", "jaccard"]].itertuples(index=False))) \
+                == sorted(map(tuple, lsh[["a", "b", "jaccard"]].itertuples(index=False)))
 
     def test_simhash_near_for_near_texts(self, spark):
         from libosmtools_spark.dedup.dedup import simhash_fingerprints
