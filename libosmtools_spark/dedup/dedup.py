@@ -476,26 +476,29 @@ def simhash_fingerprints(
     """(doc_id, simhash): per-bit majority vote over 60-bit shingle hashes.
 
     Entirely relational: shingle rows (lead-window shingle_pos_rows —
-    whole-stage codegen, not the interpreted HOF) → hash → 60
-    conditional-sum aggregates → fingerprint assembly.  Docs with no
-    shingles get 0 (restored by the left join below)."""
+    whole-stage codegen, not the interpreted HOF) → hash → 60 bit-count
+    aggregates → fingerprint assembly.  The per-bit vote Σ(bit ? +1 : −1)
+    equals 2·ones − n, so each aggregate is a branch-free
+    sum((h >> b) & 1) and the single count(*) replaces the other half of
+    every conditional; vote > 0 ⇔ 2·ones > n, including the tie
+    (vote = 0 ⇔ 2·ones = n) which leaves the bit clear on both forms.
+    Docs with no shingles get 0 (restored by the left join below)."""
     from libosmtools_spark.text.analysis import shingle_pos_rows
 
     sh = shingle_pos_rows(docs, k, id_col, text_col).withColumn(
         "h", _shingle_hash60_col(F.col("shingle"))
     )
+    one = F.lit(1).cast("long")
     votes = sh.groupBy(id_col).agg(
+        F.count("*").alias("nsh"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1).cast("long")) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{b}")
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(one)).alias(f"o{b}")
             for b in range(SIMHASH_BITS)
-        ]
+        ],
     )
     fp = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+        fp = fp + F.when(F.col(f"o{b}") * 2 > F.col("nsh"), F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     fingerprints = votes.select(F.col(id_col), fp.alias("simhash"))

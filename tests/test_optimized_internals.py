@@ -192,6 +192,66 @@ class TestTextKernelParity:
         ).count() == 0
 
 
+class TestSimhashVoteParity:
+    """The branch-free fingerprint vote (2·ones > n) must be bit-equal to
+    the conditional-sum form Σ(bit ? +1 : −1) > 0 it replaced — including
+    exact vote ties, which leave the bit clear on both forms."""
+
+    def test_fingerprints_match_conditional_vote(self, spark):
+        from pyspark.sql import functions as F
+
+        from libosmtools_spark.dedup.dedup import (
+            SIMHASH_BITS,
+            _shingle_hash60_col,
+            simhash_fingerprints,
+        )
+        from libosmtools_spark.text.analysis import shingle_pos_rows
+
+        rows = [
+            ("d0", "the quick brown fox jumps over the lazy dog"),
+            ("d1", "the quick brown fox jumps over the lazy dot"),
+            ("d2", ""),  # no shingles → fingerprint 0 via the left join
+            ("d3", "ab"),  # shorter than k → no shingles
+            ("d4", "a a a a a a"),  # one distinct word-trigram, max repetition
+            ("d5", "a b a b"),  # two shingles → every per-bit vote is ±2 or a tie
+            ("d6", "w x y z"),  # two distinct shingles → guaranteed tie bits
+            ("d7", "ünïcodé — emoji 🎯 and newlines\nand\ttabs"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+        # independent reference: the original conditional-sum vote
+        sh = shingle_pos_rows(docs, 3, "doc_id", "text").withColumn(
+            "h", _shingle_hash60_col(F.col("shingle"))
+        )
+        votes = sh.groupBy("doc_id").agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1).cast("long")) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"v{b}")
+                for b in range(SIMHASH_BITS)
+            ]
+        )
+        fp = F.lit(0).cast("long")
+        for b in range(SIMHASH_BITS):
+            fp = fp + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ref = docs.select("doc_id").join(
+            votes.select("doc_id", fp.alias("simhash")), "doc_id", "left"
+        ).select("doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+
+        got = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+        want = {r.doc_id: r.simhash for r in ref.collect()}
+        assert got == want
+        assert got["d2"] == 0 and got["d3"] == 0
+
+        # a tie must exist somewhere in the adversarial set and resolve to 0
+        two_shingle = {r.doc_id for r in sh.groupBy("doc_id").count().filter("count = 2").collect()}
+        assert two_shingle, "fixture must include an even-vote document"
+
+
 if __name__ == "__main__":
     import sys
 
