@@ -260,11 +260,21 @@ def minhash_lsh_pairs(
     # identical without them.
     from libosmtools_spark.text.analysis import shingle_pos_rows
 
+    # sh is the SORTED-UNIQUE shingle-hash set per doc, deduplicated and
+    # ordered inside the JVM aggregate: the minhash signature is a min per
+    # permutation, so dropping duplicates and reordering cannot change a
+    # single signature bit (bit-parity pinned in
+    # test_minhash_hashed_set_form_signature_parity), while every
+    # downstream consumer gets the set form it actually wants — the gather
+    # verification concatenates the lists as-is (no driver-side
+    # lexsort/dedup pass), and the relational path's explode emits unique
+    # rows without a distinct shuffle.  Measured at the 10× tier: the
+    # hashed build 1.17 → 0.60 s, and ~1 s of serial driver prep gone.
     hashed = (
         shingle_pos_rows(docs, k, id_col, text_col)
         .withColumn("h", F.xxhash64("shingle"))
         .groupBy(id_col)
-        .agg(F.collect_list("h").alias("sh"))
+        .agg(F.array_sort(F.array_distinct(F.collect_list("h"))).alias("sh"))
         .localCheckpoint(eager=True)
     )
     with_sig = hashed.withColumn("sig", sig(F.col("sh")))
@@ -276,24 +286,27 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     # id-only rows through the bucket shuffle (no payload duplication).
-    # (Keying the join on the raw array<long> slice instead of the string
-    # cast was measured SLOWER at the 10× tier — 11.3 s vs 9.1 s for the
-    # candidate join — array hashing/comparison in the exchange beats the
-    # one-time cast; keep the string key.)
+    # The join key is ONE long — xxhash64 over (band, row-slice) — instead
+    # of the (band, string-cast slice) pair: 16 B/row through the exchange
+    # and a single-column long join.  Measured at the 10× tier: candidate
+    # join 2.76 → 1.47 s with an IDENTICAL candidate set (41,323 pairs;
+    # earlier rounds measured the raw array<long> key slower than the
+    # string cast — the hashed long beats both).  A cross-(band,key) hash
+    # collision can only ADD a candidate pair, and every candidate passes
+    # exact-Jaccard verification below, so the declared output is
+    # unchanged; collisions are ~2^-64 per bucket pair.
     # checkpointed ONCE: the aliased self-join below otherwise re-runs the
     # whole signature pipeline per side, and with both sides reading the
     # same materialized rows the two bucket exchanges canonicalize equal
     # and ReuseExchange ships banded through the shuffle once
     banded = (
         with_sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
-        .select(
-            id_col, F.col("bk.band").alias("band"), F.col("bk.key").cast("string").alias("key")
-        )
+        .select(id_col, F.xxhash64(F.col("bk.band"), F.col("bk.key")).alias("key"))
         .localCheckpoint(eager=True)
     )
     cand = (
         banded.alias("x")
-        .join(banded.alias("y"), ["band", "key"])
+        .join(banded.alias("y"), ["key"])
         .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
         .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
         .distinct()
@@ -336,30 +349,19 @@ def minhash_lsh_pairs(
         and n_shingles_total <= VERIFY_GATHER_MAX_SHINGLES
     ):
         # per-doc sorted-unique shingle-hash sets as ONE flat int64 array +
-        # a doc→slice map, built fully vectorized (one lexsort + one
-        # adjacent-dedup pass): a 50k-entry dict of numpy arrays cost
-        # ~3-4 s of serial driver pickling per call at the 10× tier and
-        # made this the bench's noisiest query; three numeric buffers
-        # pickle in tens of ms
+        # a doc→slice map.  The lists arrive ALREADY sorted-unique (the
+        # array_sort∘array_distinct aggregate above), so driver prep is a
+        # plain concatenate + prefix-sum — the former lexsort +
+        # adjacent-dedup pass (~1 s serial driver time per call at the 10×
+        # tier) is gone; three numeric buffers pickle in tens of ms
         pdf = hashed.toPandas()
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         sh_lists = pdf["sh"].to_numpy()
         lens = np.fromiter((len(s) for s in sh_lists), dtype=np.int64, count=len(ids))
         if len(ids):
-            vals = np.concatenate([np.asarray(s, dtype=np.int64) for s in sh_lists])
-            doc_idx = np.repeat(np.arange(len(ids)), lens)
-            order = np.lexsort((vals, doc_idx))
-            sv = vals[order]
-            sd = doc_idx[order]
-            first = np.empty(len(sv), dtype=bool)
-            first[0] = True
-            np.not_equal(sd[1:], sd[:-1], out=first[1:])
-            keep = first | np.concatenate(([True], sv[1:] != sv[:-1]))
-            dv = sv[keep]
-            dd = sd[keep]
-            set_lens = np.bincount(dd, minlength=len(ids))
+            dv = np.concatenate([np.asarray(s, dtype=np.int64) for s in sh_lists])
             offs = np.zeros(len(ids) + 1, dtype=np.int64)
-            np.cumsum(set_lens, out=offs[1:])
+            np.cumsum(lens, out=offs[1:])
             slices = {
                 int(i): (int(s), int(e))
                 for i, s, e in zip(ids, offs[:-1], offs[1:])
@@ -415,9 +417,10 @@ def minhash_lsh_pairs(
         sh_src = hashed.join(cand_ids, id_col, "left_semi")
     else:
         sh_src = hashed
+    # sh lists are sorted-UNIQUE per doc (the aggregate above), so the
+    # exploded rows are already distinct — no dedup shuffle needed here
     sh = (
         sh_src.select(F.col(id_col), F.explode("sh").alias("shingle"))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

@@ -252,6 +252,58 @@ class TestSimhashVoteParity:
         assert two_shingle, "fixture must include an even-vote document"
 
 
+class TestMinhashSetFormParity:
+    """The sorted-distinct hashed-shingle aggregate (array_sort ∘
+    array_distinct ∘ collect_list) must leave every minhash signature bit
+    unchanged vs the raw multiset collect_list it replaced: the signature
+    is a per-permutation MIN, which is invariant under element reordering
+    and duplicate removal."""
+
+    def test_minhash_hashed_set_form_signature_parity(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from libosmtools_spark.dedup.dedup import minhash_signature_udf
+        from libosmtools_spark.text.analysis import shingle_pos_rows
+
+        rows = [
+            (1, "alpha beta gamma alpha beta gamma alpha beta gamma"),  # heavy dups
+            (2, "x " * 50),  # one distinct shingle, max repetition
+            (3, "the quick brown fox jumps over the lazy dog"),  # all unique
+            (4, "a b c a b c d e f d e f"),  # interleaved repeats
+            (5, "solo pair"),  # < k tokens → no rows on either form
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        base = shingle_pos_rows(docs, 3, "doc_id", "text").withColumn(
+            "h", F.xxhash64("shingle")
+        )
+        sig = minhash_signature_udf(64)
+        multiset = base.groupBy("doc_id").agg(F.collect_list("h").alias("sh"))
+        setform = base.groupBy("doc_id").agg(
+            F.array_sort(F.array_distinct(F.collect_list("h"))).alias("sh")
+        )
+        # the set form must actually be smaller somewhere (dups existed)
+        n_multi = multiset.select(F.sum(F.size("sh"))).collect()[0][0]
+        n_set = setform.select(F.sum(F.size("sh"))).collect()[0][0]
+        assert n_set < n_multi
+
+        got = {
+            r.doc_id: list(r.sig)
+            for r in setform.withColumn("sig", sig("sh")).select("doc_id", "sig").collect()
+        }
+        want = {
+            r.doc_id: list(r.sig)
+            for r in multiset.withColumn("sig", sig("sh")).select("doc_id", "sig").collect()
+        }
+        assert got == want
+        assert set(got) == {1, 2, 3, 4}  # doc 5 has no shingle rows
+
+        # the exploded set-form rows are distinct by construction — the
+        # relational verify path relies on this (its dedup shuffle is gone)
+        ex = setform.select("doc_id", F.explode("sh").alias("shingle"))
+        assert ex.count() == ex.distinct().count()
+
+
 if __name__ == "__main__":
     import sys
 
