@@ -139,6 +139,9 @@ class SpatialEngine:
             page_cell_keys_text(pages, level=self.level),
             self.candidates_bcast,
             self.rings_bcast,
+            # batch-unique keys already — the fused build's single task
+            # dedups globally, no distinct exchange needed
+            input_batch_unique=True,
         )
         out = res.join(F.broadcast(cells.select("cell_key", "cell_id")), "cell_key", "left")
         return out.select(
