@@ -62,8 +62,14 @@ def build_cell_index(region_rings: DataFrame, level: int) -> DataFrame:
 #: measured 1.75 s single-core for the 45-region complex scaling store vs
 #: 8.7 s wall for the distributed applyInPandas build at local[4], whose
 #: cost is almost all shuffle + python-worker dispatch at dimension scale).
-#: Larger stores keep the distributed per-region build.
-LOCAL_INDEX_MAX_REGIONS = 4096
+#: Larger stores keep the distributed per-region build.  The bound is
+#: MEASURED, not asserted (tools/spatial_crossover_probe.py, 64-vertex
+#: star stores, 32 cores): driver-local vs distributed build walls were
+#: 2.9/5.6 s at 512 regions, 5.1/6.4 at 1024, 8.3/6.3 at 2048, 13.3/6.2
+#: at 4096 — the single-core local build crosses the (nearly flat,
+#: fixed-cost-dominated) distributed build between 1k and 2k regions, so
+#: the cap sits at the last size the local build wins.
+LOCAL_INDEX_MAX_REGIONS = 1024
 
 
 def build_adaptive_cell_index(
